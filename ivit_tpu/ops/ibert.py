@@ -1,0 +1,169 @@
+"""I-BERT integer nonlinearities: polynomial exp/erf GELU, softmax, LayerNorm.
+
+Functional JAX re-implementations of
+``/root/reference/models/quantization_utils/ibert_modules.py`` (I-BERT,
+ICML'21 kernels as extended by the fork).  Same fake-quant conventions as
+``ivit_tpu.ops.ivit``.
+
+Notable fork-specific behaviors preserved:
+* LayerNorm eps semantics (1e-5) and the *dynamic overflow shift*: during
+  training, if the int variance would exceed 2**32 the per-layer ``shift``
+  is raised and variance recomputed (ibert_modules.py:69-83,137-140).  In
+  JAX this is branchless: the candidate shift is computed unconditionally and
+  applied via ``where``; callers persist the returned shift in their state.
+* Optional 4-iteration bit-length-seeded integer Newton sqrt
+  (``use_int_sqrt``, ibert_modules.py:85-109) vs float sqrt default.
+* Softmax quantizes the exp output through an *internal 16-bit QuantAct*
+  (ibert_modules.py:262,310-311); that stateful stage lives in the layer
+  wrapper (models/layers.py), and :func:`ibert_softmax_core` exposes the two
+  halves around it.
+* GELU's erf scale is negative (coeff a = -0.2888), so intermediate "scales"
+  here are signed (ibert_modules.py:203-218).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .quant import floor_ste, pow2, round_ste
+
+# --- GELU (int_erf) constants, ibert_modules.py:192-195 ---
+GELU_K = 1.4142
+GELU_N = 6
+GELU_A = -0.2888
+GELU_B = -1.769
+GELU_C = 1.0 / GELU_A
+
+# --- Softmax (int_exp) constants, ibert_modules.py:263-267 ---
+EXP_X0 = -0.6931  # -ln 2
+EXP_N = 30
+EXP_A = 0.35815147
+EXP_B = 0.96963238 / EXP_A
+EXP_C = 1.0 / EXP_A
+
+
+def int_polynomial(x_int, scaling_factor):
+    """2nd-order polynomial a(x+b)x + c in integer domain (ibert:275-283)."""
+    b_int = jax.lax.stop_gradient(jnp.floor(EXP_B / scaling_factor))
+    c_int = jax.lax.stop_gradient(jnp.floor(EXP_C / scaling_factor**2))
+    z = x_int * (x_int + b_int) + c_int
+    return z, EXP_A * scaling_factor**2
+
+
+def int_exp(x_int, scaling_factor, n: int = EXP_N):
+    """I-BERT integer exp via range reduction by -ln2 (ibert:285-295)."""
+    x0_int = jax.lax.stop_gradient(jnp.floor(EXP_X0 / scaling_factor))
+    x_int = jnp.maximum(x_int, n * x0_int)
+
+    q = floor_ste(x_int / x0_int)
+    r = x_int - x0_int * q
+    exp_int, exp_scale = int_polynomial(r, scaling_factor)
+    exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
+    return exp_int, exp_scale / 2**n
+
+
+def int_erf(x_int, scaling_factor):
+    """sign(x) * (a*(clamp(|x|,-b)+b)**2 + c) integer erf (ibert:203-218)."""
+    b_int = jax.lax.stop_gradient(jnp.floor(GELU_B / scaling_factor))
+    c_int = jax.lax.stop_gradient(jnp.floor(GELU_C / scaling_factor**2))
+
+    sign = jax.lax.stop_gradient(jnp.sign(x_int))
+    abs_int = jnp.minimum(jnp.abs(x_int), -b_int)
+    y_int = sign * ((abs_int + b_int) ** 2 + c_int)
+    scaling_factor = scaling_factor**2 * GELU_A
+    y_int = floor_ste(y_int / 2**GELU_N)
+    return y_int, scaling_factor * 2**GELU_N
+
+
+def ibert_gelu(x, scaling_factor):
+    """I-BERT GELU: x * (erf(x/sqrt2) + 1)/2 in integer domain (ibert:220-235)."""
+    x_int = x / scaling_factor
+    sigmoid_int, sigmoid_scale = int_erf(x_int, scaling_factor / GELU_K)
+    shift_int = jax.lax.stop_gradient(jnp.floor(1.0 / sigmoid_scale))
+    x_int = x_int * (sigmoid_int + shift_int)
+    out_scale = scaling_factor * sigmoid_scale / 2
+    return x_int * out_scale, out_scale
+
+
+def ibert_softmax_exp(x, scaling_factor):
+    """First half of I-BERT softmax (ibert:304-309): shifted integer exp.
+
+    Returns ``(exp_int, exp_scale)``; the caller requantizes through a 16-bit
+    QuantAct and finishes with :func:`ibert_softmax_normalize`.
+    """
+    x_int = x / scaling_factor
+    x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
+    x_int = x_int - x_int_max
+    return int_exp(x_int, scaling_factor)
+
+
+def ibert_softmax_normalize(exp_int, output_bit: int, dtype=jnp.float32):
+    """Second half of I-BERT softmax (ibert:312-319): 2**32 reciprocal trick."""
+    exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
+    factor = floor_ste(2.0**32 / exp_int_sum)
+    out_int = floor_ste(exp_int * factor / 2 ** (32 - output_bit + 1))
+    out_scale = jnp.asarray([2.0 / 2**output_bit], dtype=dtype)
+    return out_int * out_scale, out_scale
+
+
+def int_bitlength_sqrt(n, iters: int = 4):
+    """Vectorized integer sqrt, bit-length seed + Newton (ibert:85-109)."""
+    mask = n > 0
+    n = jnp.clip(n, 0, None)
+    bits = jnp.floor(jnp.log2(jnp.clip(n, 1, None))) + 1
+    x = pow2(jnp.ceil(bits / 2))
+    for _ in range(iters):
+        inv = floor_ste(n / jnp.clip(x, 1, None))
+        x = floor_ste((x + inv) / 2)
+    return jnp.where(mask, x, jnp.zeros_like(x))
+
+
+def ibert_layernorm(x, scaling_factor, weight, bias, shift,
+                    overflow_handling: bool = True,
+                    use_int_sqrt: bool = False):
+    """I-BERT LayerNorm over the last axis (ibert:112-158).
+
+    ``shift`` is the persisted overflow shift (scalar array, power-of-two
+    exponent).  Returns ``(y, out_scale, new_shift)``; callers write
+    ``new_shift`` back to their state when training with overflow handling.
+    """
+    dim = x.shape[-1]
+    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=x.dtype))
+
+    x_int = x / scaling_factor
+    mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
+    y_int = x_int - mean_int
+
+    def _var(s):
+        y_shifted = floor_ste(y_int / pow2(s))
+        return jnp.sum(y_shifted * y_shifted, axis=-1, keepdims=True)
+
+    var_int = _var(shift)
+    if overflow_handling:
+        # branchless re-derivation of set_shift (ibert:69-76): needed shift so
+        # that var/2**(2*shift) < 2**32, taken as a max over the batch.
+        raw_var = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
+        needed = jnp.ceil(jnp.log2(jnp.sqrt(
+            jax.lax.stop_gradient(raw_var) / 2.0**32)))
+        needed = jnp.max(needed)
+        overflow = jnp.max(var_int) >= 2.0**32
+        new_shift = jnp.where(overflow, jnp.maximum(shift, needed), shift)
+        var_int = _var(new_shift)
+    else:
+        new_shift = shift
+
+    if use_int_sqrt:
+        std_int = floor_ste(int_bitlength_sqrt(var_int)) * pow2(new_shift)
+    else:
+        std_int = floor_ste(jnp.sqrt(var_int)) * pow2(new_shift)
+    factor = floor_ste(2.0**31 / std_int)
+    y_int = floor_ste(y_int * factor / 2)
+    out_scale = dim_sqrt / 2.0**30
+
+    w = jax.lax.stop_gradient(weight)
+    b = jax.lax.stop_gradient(bias)
+    bias_int = jnp.floor((b / w) / out_scale)
+    y_int = y_int + bias_int
+    out_scale = out_scale * weight
+    return y_int * out_scale, out_scale, new_shift

@@ -1,0 +1,136 @@
+"""I-ViT integer nonlinearities: Shiftmax, ShiftGELU, I-LayerNorm.
+
+Functional JAX re-implementations of
+``/root/reference/models/quantization_utils/ivit_modules.py`` (I-ViT, ICCV'23).
+All functions operate on fake-quantized floats — tensors that are exactly
+``int * scale`` — and return ``(y, out_scale)`` pairs, differentiable through
+the straight-through estimators of ``ivit_tpu.ops.quant``.
+
+The arithmetic is shift/add-only in the integer domain; on TPU the shifts are
+represented as exact power-of-two float32 multiplies (every intermediate here
+carries <= 11 significant bits before a power-of-two scaling, so float32 is
+exact on the hot path; see design notes in ops/quant.py).  The deployment
+engine evaluates the same formulas on int32 arrays.
+
+Reference quirks intentionally preserved:
+* ``int_exp_shift``'s ``x + (x>>1) - (x>>4)`` approximates ``x * log2(e)``
+  (ivit_modules.py:91,151).
+* GELU uses ``sigmoid(1.702 x)``'s exp trick with n=23; softmax uses n=15.
+* LayerNorm runs a 10-iteration integer Newton sqrt seeded at 2**16
+  (ivit_modules.py:45-49).
+Reference quirks *not* preserved: the hard-coded reduction ``axis=2`` in
+LayerNorm is generalized to ``axis=-1``; the device-specific ``.cuda()``
+calls are gone.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .quant import floor_ste, pow2, round_ste
+import jax
+
+INT32_MAX = 2.0**31 - 1
+
+
+def int_exp_shift(x_int, scaling_factor, n: int):
+    """Shift-based integer exp: 2**(x * log2 e) by quotient/remainder split.
+
+    Mirrors ivit_modules.py:89-103 (GELU, n=23) and :150-162 (softmax, n=15).
+    ``x_int`` is an integer-valued float tensor (<= 0 after max subtraction),
+    ``scaling_factor`` its positive scale.  Returns (exp_int, scale / 2**n).
+    """
+    x_int = x_int + floor_ste(x_int / 2) - floor_ste(x_int / 2**4)
+
+    x0_int = jax.lax.stop_gradient(jnp.floor(-1.0 / scaling_factor))
+    x_int = jnp.maximum(x_int, n * x0_int)
+
+    q = floor_ste(x_int / x0_int)
+    r = x_int - x0_int * q
+    exp_int = r / 2 - x0_int
+    exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
+    return exp_int, scaling_factor / 2**n
+
+
+def shiftmax(x, scaling_factor, output_bit: int = 8):
+    """Shiftmax (ivit_modules.py:129-179): integer softmax over the last axis.
+
+    Returns ``(probs, out_scale)`` with fixed ``out_scale = 2**-(bit-1)``.
+    """
+    x_int = x / scaling_factor
+    x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
+    x_int = x_int - x_int_max
+
+    exp_int, _ = int_exp_shift(x_int, scaling_factor, n=15)
+    exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
+    exp_int_sum = jnp.minimum(exp_int_sum, INT32_MAX)
+
+    factor = floor_ste(INT32_MAX / exp_int_sum)
+    exp_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
+    out_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=x.dtype)
+    return exp_int * out_scale, out_scale
+
+
+def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
+    """ShiftGELU (ivit_modules.py:68-126): ``x * sigmoid(1.702 x)`` via shift-exp.
+
+    Returns ``(y, out_scale)`` with ``out_scale = scale * 2**-(bit-1)``.
+    """
+    pre_x_int = x / scaling_factor
+    scaling_factor_sig = scaling_factor * 1.702
+
+    x_int_max = jnp.max(pre_x_int, axis=-1, keepdims=True)
+    x_int = pre_x_int - x_int_max
+
+    exp_int, _ = int_exp_shift(x_int, scaling_factor_sig, n=n)      # e^(x-max)
+    exp_int_max, _ = int_exp_shift(-x_int_max, scaling_factor_sig, n=n)  # e^(-max)
+    exp_int_sum = jnp.minimum(exp_int + exp_int_max, INT32_MAX)
+
+    factor = floor_ste(INT32_MAX / exp_int_sum)
+    sigmoid_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
+    sigmoid_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=x.dtype)
+
+    x_int = pre_x_int * sigmoid_int
+    out_scale = scaling_factor * sigmoid_scale
+    return x_int * out_scale, out_scale
+
+
+def int_newton_sqrt(var_int, iters: int = 10, k0: float = 2.0**16):
+    """Integer Newton-Raphson sqrt: k <- floor((k + floor(v/k)) / 2).
+
+    Mirrors ivit_modules.py:45-49 (10 iterations, init 2**16).
+    """
+    k = jnp.full_like(var_int, k0)
+    for _ in range(iters):
+        k = floor_ste((k + floor_ste(var_int / k)) / 2)
+    return k
+
+
+def i_layernorm(x, scaling_factor, weight, bias):
+    """I-LayerNorm (ivit_modules.py:10-65) over the last axis.
+
+    ``weight``/``bias`` are the affine float parameters (shape [C]).
+    Returns ``(y, out_scale)`` with per-channel
+    ``out_scale = sqrt(C)/2**30 * weight``.
+    """
+    dim = x.shape[-1]
+    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=x.dtype))
+
+    x_int = x / scaling_factor
+    mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
+    y_int = x_int - mean_int
+    var_int = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
+
+    std_int = int_newton_sqrt(var_int)
+
+    factor = floor_ste(INT32_MAX / std_int)
+    y_int = floor_ste(y_int * factor / 2)
+    out_scale = dim_sqrt / 2.0**30
+
+    # fold bias through the per-channel weight, add in integer domain
+    w = jax.lax.stop_gradient(weight)
+    b = jax.lax.stop_gradient(bias)
+    bias_int = jnp.floor((b / w) / out_scale)
+    y_int = y_int + bias_int
+    out_scale = out_scale * weight
+    return y_int * out_scale, out_scale
