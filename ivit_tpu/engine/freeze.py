@@ -1,0 +1,333 @@
+"""Model freeze: QAT variables -> integer-only engine spec.
+
+This is the TPU analogue of the reference's TVM conversion step
+(``/root/reference/TVM_benchmark/convert_model.py``): it walks the trained
+variables, quantizes every weight to int8 / bias to int32, and builds the
+**static scale graph** — one dyadic requantization multiplier per edge —
+exactly as ``load_qconfig`` does (convert_model.py:69-148), but computed once
+on the host in float64 with the reference's round-half-up 31-bit mantissa
+semantics (``ivit_tpu.ops.dyadic``).
+
+The result is an :class:`EngineSpec`: a pytree of device arrays (int8
+weights, int32 biases, f32 requant multipliers, precomputed integer
+constants) plus a static :class:`EngineConfig`.  ``ivit_tpu.engine.vit_int``
+traces the integer forward from it.
+
+Fidelity note: requant multipliers are applied as float32 ``round(z * M)``
+where ``M = float32(m * 2**-e)`` from the exact dyadic pair.  Relative error
+vs the reference's float64 evaluation is <= 2**-24, which can flip rounding
+only at exact ties (~1e-5 of elements on calibrated scales); the
+``tests/test_engine.py`` parity suite quantifies this against the QAT sim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import parse_layer_name
+from ..models.vit import BitWidths, VisionTransformer
+from ..ops.dyadic import batch_frexp, dyadic_to_multiplier
+
+F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _sym_scale(num_bits: int, x_min, x_max):
+    """float32 scale exactly as the reference/trainer computes it."""
+    n = np.float32(2 ** (num_bits - 1) - 1)
+    mag = np.maximum(-_np(x_min).astype(np.float32),
+                     _np(x_max).astype(np.float32))
+    return np.maximum(mag / n, np.float32(F32_EPS))
+
+
+def _quant_w(w, num_bits: int, scale):
+    """clamp(round(w / s)) in float32 (matches torch rounding), as int."""
+    n = 2 ** (num_bits - 1) - 1
+    z = np.round(_np(w).astype(np.float32) / scale)
+    return np.clip(z, -n - 1, n)
+
+
+def dyadic_multiplier(s_in, s_out) -> np.ndarray:
+    """float32 multiplier from the exact float64 dyadic pair of s_in/s_out."""
+    ratio = _np(s_in).astype(np.float64) / _np(s_out).astype(np.float64)
+    m, e = batch_frexp(ratio)
+    return dyadic_to_multiplier(m, e).astype(np.float32)
+
+
+def dyadic_requant_exact(z_int, s_in, s_out):
+    """Host-side exact dyadic requant (freeze-time constants like pos-embed)."""
+    ratio = _np(s_in).astype(np.float64) / _np(s_out).astype(np.float64)
+    m, e = batch_frexp(ratio)
+    return np.round(_np(z_int).astype(np.float64) * m / np.exp2(e.astype(np.float64)))
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static architecture + approximation selection of a frozen engine."""
+
+    img_size: int
+    patch_size: int
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float
+    num_classes: int
+    bitwidths: BitWidths
+    gelu_type: str
+    softmax_type: str
+    layernorm_type: str
+    qk_scale: Optional[float] = None
+
+    @property
+    def head_dim(self):
+        return self.embed_dim // self.num_heads
+
+    @property
+    def num_patches(self):
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def attn_scale(self):
+        return self.qk_scale or self.head_dim ** -0.5
+
+    def base_type(self, which: str) -> str:
+        name = {"gelu": self.gelu_type, "softmax": self.softmax_type,
+                "ln": self.layernorm_type}[which]
+        return parse_layer_name(name)[0]
+
+    def type_params(self, which: str) -> dict:
+        name = {"gelu": self.gelu_type, "softmax": self.softmax_type,
+                "ln": self.layernorm_type}[which]
+        return parse_layer_name(name)[1]
+
+
+@dataclasses.dataclass
+class EngineSpec:
+    """Frozen integer network: static config + device-array parameter tree."""
+
+    config: EngineConfig
+    params: Dict[str, Any]
+
+
+def _act_scale(qs: dict, name: str, bits: int) -> np.float32:
+    st = qs[name]
+    return _sym_scale(bits, st["x_min"], st["x_max"]).reshape(-1)[0]
+
+
+def _linear(params_tree, qs_scale_in, name_w: str, weight_bit=8, bias_bit=32):
+    """Quantize one linear site; returns (w_int8[I,O], b_int32[O], s_out[O])."""
+    kernel = _np(params_tree["kernel"]).astype(np.float32)
+    w_min = kernel.min(axis=0)
+    w_max = kernel.max(axis=0)
+    w_scale = _sym_scale(weight_bit, w_min, w_max)          # [O]
+    w_int = _quant_w(kernel, weight_bit, w_scale[None, :]).astype(np.int8)
+    bias_scale = (w_scale.astype(np.float64) * np.float64(qs_scale_in)).astype(np.float32)
+    if "bias" in params_tree:
+        b_int = _quant_w(_np(params_tree["bias"]), bias_bit, bias_scale).astype(np.int32)
+    else:
+        b_int = np.zeros(kernel.shape[1], np.int32)
+    return w_int, b_int, bias_scale
+
+
+def _ln_site(params_tree, dim: int, qs: Optional[dict] = None):
+    """LayerNorm freeze: integer bias + per-channel output scale.
+
+    out_scale = sqrt(C)/2**30 * gamma; bias_int = floor((beta/gamma)/base)
+    (ivit_modules.py:53-62 / ibert_modules.py:148-155).
+    """
+    gamma = _np(params_tree["weight"]).astype(np.float32)
+    beta = _np(params_tree["bias"]).astype(np.float32)
+    base = np.float32(np.sqrt(dim) / 2.0**30)
+    bias_int = np.floor((beta / gamma) / base)
+    out_scale = base * gamma
+    shift = _np(qs["shift"]).reshape(-1)[0] if qs and "shift" in qs else np.float32(0)
+    return bias_int.astype(np.float32), out_scale, shift
+
+
+def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
+    """Build the integer engine spec from a calibrated/trained QAT model."""
+    # one bulk device->host transfer (per-leaf fetches through the TPU
+    # tunnel cost ~1s each; a DeiT freeze would otherwise take minutes)
+    variables = jax.device_get(variables)
+    cfg = EngineConfig(
+        img_size=model.img_size, patch_size=model.patch_size,
+        embed_dim=model.embed_dim, depth=model.depth,
+        num_heads=model.num_heads, mlp_ratio=model.mlp_ratio,
+        num_classes=model.num_classes, bitwidths=model.bitwidths,
+        gelu_type=model.gelu_type, softmax_type=model.softmax_type,
+        layernorm_type=model.layernorm_type, qk_scale=model.qk_scale)
+    bw = cfg.bitwidths
+    P = variables["params"]
+    Q = variables["quant_stats"]
+    ln_base = cfg.base_type("ln")
+    sm_base = cfg.base_type("softmax")
+    gelu_base = cfg.base_type("gelu")
+    sm_bit = bw.softmax
+
+    p: Dict[str, Any] = {}
+
+    # --- input quantization ---
+    s_input = _act_scale(Q, "qact_input", 8)
+    p["s_input"] = s_input
+
+    # --- patch embedding (conv as GEMM over flattened patches) ---
+    conv = P["patch_embed"]["proj"]
+    kernel = _np(conv["kernel"]).astype(np.float32)       # [kh,kw,cin,D]
+    kh, kw, cin, D = kernel.shape
+    wf = kernel.reshape(-1, D)
+    w_scale = _sym_scale(8, wf.min(axis=0), wf.max(axis=0))
+    w_int = _quant_w(wf, 8, w_scale[None, :]).astype(np.int8)
+    conv_out_scale = (w_scale.astype(np.float64) * np.float64(s_input)).astype(np.float32)
+    b_int = _quant_w(_np(conv["bias"]), 32, conv_out_scale).astype(np.int32)
+    s_patch = _act_scale(Q["patch_embed"], "qact", bw.patch_embed)
+    p["patch"] = {
+        "w": w_int, "b": b_int,
+        "m": dyadic_multiplier(conv_out_scale, s_patch),   # [D]
+    }
+    p["s_patch"] = s_patch
+
+    # --- cls token + positional embedding (freeze-time integer constants) ---
+    cls = _np(P["cls_token"]).astype(np.float64)
+    p["cls_int"] = np.round(cls / np.float64(s_patch)).astype(np.float32)
+    s_pos = _act_scale(Q, "qact_pos", bw.pos_encoding)
+    s_block0 = _act_scale(Q, "qact1", bw.block_input)
+    pos = _np(P["pos_embed"]).astype(np.float32)
+    pos_int8 = _quant_w(pos, bw.pos_encoding, s_pos)
+    p["pos_addend"] = dyadic_requant_exact(pos_int8, s_pos, s_block0).astype(np.float32)
+    p["m_x0"] = dyadic_multiplier(s_patch, s_block0)       # scalar
+    p["s_block0"] = s_block0
+
+    # --- blocks ---
+    blocks: List[Dict[str, Any]] = []
+    s_block_in = s_block0
+    for i in range(cfg.depth):
+        bp = P[f"blocks_{i}"]
+        bq = Q[f"blocks_{i}"]
+        blk: Dict[str, Any] = {}
+
+        # norm1 -> qact1 -> qkv
+        ln1_bias, ln1_scale, ln1_shift = _ln_site(bp["norm1"], cfg.embed_dim,
+                                                  bq.get("norm1"))
+        s_a1 = _act_scale(bq, "qact1", 8)
+        blk["ln1_bias_int"] = ln1_bias
+        blk["ln1_shift"] = ln1_shift
+        blk["m_ln1"] = dyadic_multiplier(ln1_scale, s_a1)   # [C]
+
+        aq = bq["attn"]
+        ap = bp["attn"]
+        qkv_w, qkv_b, qkv_scale = _linear(ap["qkv"], s_a1, "qkv")
+        s_q = _act_scale(aq, "qact1", 8)
+        blk["qkv_w"] = qkv_w
+        blk["qkv_b"] = qkv_b
+        blk["m_qkv"] = dyadic_multiplier(qkv_scale, s_q)    # [3C]
+
+        # scores: s_q^2 * attn_scale -> qact_attn1 -> softmax
+        s_attn = _act_scale(aq, "qact_attn1", 8)
+        s_scores = np.float64(s_q) * np.float64(s_q) * np.float64(cfg.attn_scale)
+        blk["m_attn"] = dyadic_multiplier(s_scores, s_attn)
+        blk["s_attn"] = np.float32(s_attn)
+
+        if sm_base == "ibert":
+            blk["s_exp_act"] = _act_scale(aq["int_softmax"], "act", 16)
+        elif sm_base == "ppoly":
+            smq = aq["int_softmax"]
+            blk["sm_bounds"] = _np(smq["bounds"]).astype(np.int32)
+            blk["sm_coeffs"] = _np(smq["coeffs"]).astype(np.float32)
+        s_sm = (np.float32(2.0 / 2**sm_bit) if sm_base in ("ibert", "ppoly", "float")
+                else np.float32(1.0 / 2 ** (sm_bit - 1)))
+
+        # attn @ v -> qact2 -> proj -> qact3
+        s_a2 = _act_scale(aq, "qact2", 8)
+        blk["m_av"] = dyadic_multiplier(np.float64(s_sm) * np.float64(s_q), s_a2)
+        proj_w, proj_b, proj_scale = _linear(ap["proj"], s_a2, "proj")
+        s_a3 = _act_scale(aq, "qact3", bw.attention_out)
+        blk["proj_w"] = proj_w
+        blk["proj_b"] = proj_b
+        blk["m_proj"] = dyadic_multiplier(proj_scale, s_a3)  # [C]
+
+        # residual add #1 (qact2 of the Block)
+        s_res1 = _act_scale(bq, "qact2", bw.norm2_in)
+        blk["m_res1_x"] = dyadic_multiplier(s_a3, s_res1)
+        blk["m_res1_id"] = dyadic_multiplier(s_block_in, s_res1)
+
+        # norm2 -> qact3 -> mlp
+        ln2_bias, ln2_scale, ln2_shift = _ln_site(bp["norm2"], cfg.embed_dim,
+                                                  bq.get("norm2"))
+        s_m1 = _act_scale(bq, "qact3", 8)
+        blk["ln2_bias_int"] = ln2_bias
+        blk["ln2_shift"] = ln2_shift
+        blk["m_ln2"] = dyadic_multiplier(ln2_scale, s_m1)
+
+        mp, mq = bp["mlp"], bq["mlp"]
+        fc1_w, fc1_b, fc1_scale = _linear(mp["fc1"], s_m1, "fc1")
+        s_g = _act_scale(mq, "qact_gelu", 8)
+        blk["fc1_w"] = fc1_w
+        blk["fc1_b"] = fc1_b
+        blk["m_fc1"] = dyadic_multiplier(fc1_scale, s_g)
+        blk["s_gelu"] = np.float32(s_g)
+
+        if gelu_base == "ppoly":
+            gq = mq["act"]
+            blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
+            blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
+
+        # gelu output scale by family
+        if gelu_base == "ivit":
+            s_gelu_out = np.float64(s_g) / 2.0 ** 7
+        elif gelu_base in ("ibert", "ppoly"):
+            from ..ops.ibert import GELU_A, GELU_K, GELU_N
+            so = (np.float64(s_g) / GELU_K) ** 2 * GELU_A * 2.0**GELU_N
+            s_gelu_out = np.float64(s_g) * so / 2
+        else:  # float golden: quantized on the input grid
+            s_gelu_out = np.float64(s_g)
+        s_m2 = _act_scale(mq, "qact1", 8)
+        blk["m_gelu"] = dyadic_multiplier(s_gelu_out, s_m2)
+
+        fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
+        s_mlp_out = _act_scale(mq, "qact2", bw.mlp_out)
+        blk["fc2_w"] = fc2_w
+        blk["fc2_b"] = fc2_b
+        blk["m_fc2"] = dyadic_multiplier(fc2_scale, s_mlp_out)
+
+        # residual add #2 (qact4)
+        s_block_out = _act_scale(bq, "qact4", bw.att_block_out)
+        blk["m_res2_x"] = dyadic_multiplier(s_mlp_out, s_block_out)
+        blk["m_res2_id"] = dyadic_multiplier(s_res1, s_block_out)
+
+        blocks.append(blk)
+        s_block_in = s_block_out
+
+    p["blocks"] = blocks
+
+    # --- final norm -> cls select -> qact2 -> head ---
+    lnf_bias, lnf_scale, lnf_shift = _ln_site(P["norm"], cfg.embed_dim,
+                                              Q.get("norm"))
+    s_cls = _act_scale(Q, "qact2", 8)
+    p["lnf_bias_int"] = lnf_bias
+    p["lnf_shift"] = lnf_shift
+    p["m_lnf"] = dyadic_multiplier(lnf_scale, s_cls)
+    head_w, head_b, head_scale = _linear(P["head"], s_cls, "head")
+    p["head_w"] = head_w
+    p["head_b"] = head_b
+    p["head_scale"] = head_scale      # [num_classes] float output scale
+
+    return EngineSpec(config=cfg, params=_to_device(p))
+
+
+def _to_device(tree):
+    if isinstance(tree, dict):
+        return {k: _to_device(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_to_device(v) for v in tree]
+    arr = np.asarray(tree)
+    if arr.dtype in (np.int8, np.int32):
+        return jnp.asarray(arr)
+    return jnp.asarray(arr, dtype=jnp.float32)

@@ -251,6 +251,43 @@ class IBERTGELU(nn.Module):
         return ibert_ops.ibert_gelu(x, scaling_factor)
 
 
+class _ExpRangeAct(nn.Module):
+    """16-bit requantizer for I-BERT softmax's raw exp integers.
+
+    State layout matches the reference's internal ``QuantAct`` buffers
+    (``int_softmax.act.{x_min,x_max,act_scaling_factor}``) so checkpoints
+    round-trip, but the requant is the single-rounding
+    ``round(exp_int / s_act)`` instead of the generic dyadic path: the
+    exp integers reach ~2**40-2**55 where the reference's float64
+    ``fixedpoint_mul`` is exact but a float32 re-statement is not; the
+    single-round form matches the float64 reference to ~2**-25.
+    """
+
+    @nn.compact
+    def __call__(self, exp_int, *, running_stat: bool = False):
+        x_min_v = self.variable("quant_stats", "x_min",
+                                lambda: jnp.zeros((1,), jnp.float32))
+        x_max_v = self.variable("quant_stats", "x_max",
+                                lambda: jnp.zeros((1,), jnp.float32))
+        scale_v = self.variable("quant_stats", "act_scaling_factor",
+                                lambda: jnp.zeros((1,), jnp.float32))
+        if running_stat:
+            sg = jax.lax.stop_gradient(exp_int)
+            cur_min = jnp.min(sg).reshape(1)
+            cur_max = jnp.max(sg).reshape(1)
+            uninit = jnp.all(x_min_v.value == x_max_v.value)
+            m = 0.95
+            x_min_v.value = jnp.where(uninit, x_min_v.value + cur_min,
+                                      x_min_v.value * m + cur_min * (1 - m))
+            x_max_v.value = jnp.where(uninit, x_max_v.value + cur_max,
+                                      x_max_v.value * m + cur_max * (1 - m))
+        s_act = q.symmetric_quant_params(16, x_min_v.value, x_max_v.value)
+        if running_stat:
+            scale_v.value = s_act
+        exp16 = jnp.clip(q.round_ste(exp_int / s_act), -(2.0**15), 2.0**15 - 1)
+        return exp16, s_act
+
+
 class IBERTSoftmax(nn.Module):
     """I-BERT softmax with internal 16-bit exp QuantAct (ibert:237-319)."""
     output_bit: int = 8
@@ -258,12 +295,8 @@ class IBERTSoftmax(nn.Module):
     @nn.compact
     def __call__(self, x, scaling_factor, *, running_stat: bool = False):
         exp_int, exp_scale = ibert_ops.ibert_softmax_exp(x, scaling_factor)
-        # the reference feeds the *raw* integer tensor through a 16-bit
-        # QuantAct (treating int values as floats) — preserved verbatim
-        exp, exp_scale = QuantAct(16, name="act")(
-            exp_int, exp_scale, running_stat=running_stat)
-        exp_int = exp / exp_scale
-        return ibert_ops.ibert_softmax_normalize(exp_int, self.output_bit,
+        exp16, _ = _ExpRangeAct(name="act")(exp_int, running_stat=running_stat)
+        return ibert_ops.ibert_softmax_normalize(exp16, self.output_bit,
                                                  dtype=x.dtype)
 
 

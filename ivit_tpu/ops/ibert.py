@@ -76,14 +76,31 @@ def int_erf(x_int, scaling_factor):
     return y_int, scaling_factor * 2**GELU_N
 
 
-def ibert_gelu(x, scaling_factor):
-    """I-BERT GELU: x * (erf(x/sqrt2) + 1)/2 in integer domain (ibert:220-235)."""
-    x_int = x / scaling_factor
+def ibert_gelu_int(x_int, scaling_factor):
+    """I-BERT GELU core on integer tensors (ibert:220-235).
+
+    Returns ``(y_int, out_scale)``; ``y_int = x_int * (erf_int + shift)``.
+    """
+    x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     sigmoid_int, sigmoid_scale = int_erf(x_int, scaling_factor / GELU_K)
     shift_int = jax.lax.stop_gradient(jnp.floor(1.0 / sigmoid_scale))
-    x_int = x_int * (sigmoid_int + shift_int)
+    y_int = x_int * (sigmoid_int + shift_int)
     out_scale = scaling_factor * sigmoid_scale / 2
-    return x_int * out_scale, out_scale
+    return y_int, out_scale
+
+
+def ibert_gelu(x, scaling_factor):
+    """I-BERT GELU on fake-quant floats; see :func:`ibert_gelu_int`."""
+    y_int, out_scale = ibert_gelu_int(x / scaling_factor, scaling_factor)
+    return y_int * out_scale, out_scale
+
+
+def ibert_softmax_exp_int(x_int, scaling_factor):
+    """First half of I-BERT softmax on integer tensors (ibert:304-309)."""
+    x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
+    x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
+    x_int = x_int - x_int_max
+    return int_exp(x_int, scaling_factor)
 
 
 def ibert_softmax_exp(x, scaling_factor):
@@ -92,10 +109,7 @@ def ibert_softmax_exp(x, scaling_factor):
     Returns ``(exp_int, exp_scale)``; the caller requantizes through a 16-bit
     QuantAct and finishes with :func:`ibert_softmax_normalize`.
     """
-    x_int = x / scaling_factor
-    x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
-    x_int = x_int - x_int_max
-    return int_exp(x_int, scaling_factor)
+    return ibert_softmax_exp_int(x / scaling_factor, scaling_factor)
 
 
 def ibert_softmax_normalize(exp_int, output_bit: int, dtype=jnp.float32):
@@ -119,19 +133,19 @@ def int_bitlength_sqrt(n, iters: int = 4):
     return jnp.where(mask, x, jnp.zeros_like(x))
 
 
-def ibert_layernorm(x, scaling_factor, weight, bias, shift,
-                    overflow_handling: bool = True,
-                    use_int_sqrt: bool = False):
-    """I-BERT LayerNorm over the last axis (ibert:112-158).
+def ibert_layernorm_int(x_int, weight, bias, shift,
+                        overflow_handling: bool = True,
+                        use_int_sqrt: bool = False):
+    """I-BERT LayerNorm core on integer tensors (ibert:112-158).
 
     ``shift`` is the persisted overflow shift (scalar array, power-of-two
-    exponent).  Returns ``(y, out_scale, new_shift)``; callers write
+    exponent).  Returns ``(y_int, out_scale, new_shift)``; callers write
     ``new_shift`` back to their state when training with overflow handling.
     """
-    dim = x.shape[-1]
-    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=x.dtype))
+    dim = x_int.shape[-1]
+    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=jnp.float32))
 
-    x_int = x / scaling_factor
+    x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
     y_int = x_int - mean_int
 
@@ -166,4 +180,14 @@ def ibert_layernorm(x, scaling_factor, weight, bias, shift,
     bias_int = jnp.floor((b / w) / out_scale)
     y_int = y_int + bias_int
     out_scale = out_scale * weight
+    return y_int, out_scale, new_shift
+
+
+def ibert_layernorm(x, scaling_factor, weight, bias, shift,
+                    overflow_handling: bool = True,
+                    use_int_sqrt: bool = False):
+    """I-BERT LayerNorm on fake-quant floats; see :func:`ibert_layernorm_int`."""
+    y_int, out_scale, new_shift = ibert_layernorm_int(
+        x / scaling_factor, weight, bias, shift,
+        overflow_handling=overflow_handling, use_int_sqrt=use_int_sqrt)
     return y_int * out_scale, out_scale, new_shift

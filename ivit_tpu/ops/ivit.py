@@ -2,15 +2,16 @@
 
 Functional JAX re-implementations of
 ``/root/reference/models/quantization_utils/ivit_modules.py`` (I-ViT, ICCV'23).
-All functions operate on fake-quantized floats — tensors that are exactly
-``int * scale`` — and return ``(y, out_scale)`` pairs, differentiable through
-the straight-through estimators of ``ivit_tpu.ops.quant``.
 
-The arithmetic is shift/add-only in the integer domain; on TPU the shifts are
-represented as exact power-of-two float32 multiplies (every intermediate here
-carries <= 11 significant bits before a power-of-two scaling, so float32 is
-exact on the hot path; see design notes in ops/quant.py).  The deployment
-engine evaluates the same formulas on int32 arrays.
+Each nonlinearity has two entry points sharing one formula body:
+
+* ``*_int`` — the integer-domain core: takes the integer tensor ``x_int``
+  (held in float32; every value and intermediate is integer-exact, powers of
+  two applied via the exact ``pow2`` bit trick) plus its scale, returns the
+  integer output and the output scale.  This is what the deployment engine
+  traces, with Pallas fusions swapped in underneath.
+* the fake-quant wrapper — takes ``x = x_int * scale`` floats, used by the
+  QAT flax graph; differentiable through the straight-through estimators.
 
 Reference quirks intentionally preserved:
 * ``int_exp_shift``'s ``x + (x>>1) - (x>>4)`` approximates ``x * log2(e)``
@@ -25,10 +26,10 @@ calls are gone.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .quant import floor_ste, pow2, round_ste
-import jax
 
 INT32_MAX = 2.0**31 - 1
 
@@ -52,12 +53,17 @@ def int_exp_shift(x_int, scaling_factor, n: int):
     return exp_int, scaling_factor / 2**n
 
 
-def shiftmax(x, scaling_factor, output_bit: int = 8):
-    """Shiftmax (ivit_modules.py:129-179): integer softmax over the last axis.
+# ---------------------------------------------------------------------------
+# Integer-domain cores
+# ---------------------------------------------------------------------------
 
-    Returns ``(probs, out_scale)`` with fixed ``out_scale = 2**-(bit-1)``.
+def shiftmax_int(x_int, scaling_factor, output_bit: int = 8):
+    """Shiftmax core (ivit_modules.py:164-179) on integer tensors.
+
+    Returns ``(probs_int, out_scale)`` with probs in [0, 2**(bit-1)] and
+    fixed ``out_scale = 2**-(bit-1)``.
     """
-    x_int = x / scaling_factor
+    x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
 
@@ -66,19 +72,20 @@ def shiftmax(x, scaling_factor, output_bit: int = 8):
     exp_int_sum = jnp.minimum(exp_int_sum, INT32_MAX)
 
     factor = floor_ste(INT32_MAX / exp_int_sum)
-    exp_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
-    out_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=x.dtype)
-    return exp_int * out_scale, out_scale
+    probs_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
+    out_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=jnp.float32)
+    return probs_int, out_scale
 
 
-def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
-    """ShiftGELU (ivit_modules.py:68-126): ``x * sigmoid(1.702 x)`` via shift-exp.
+def shift_gelu_int(pre_x_int, scaling_factor, output_bit: int = 8, n: int = 23):
+    """ShiftGELU core (ivit_modules.py:105-126) on integer tensors.
 
-    Returns ``(y, out_scale)`` with ``out_scale = scale * 2**-(bit-1)``.
+    Returns ``(y_int, out_scale)`` with ``out_scale = scale * 2**-(bit-1)``;
+    ``y_int = x_int * sigmoid_int`` can reach ~2**15.
     """
-    pre_x_int = x / scaling_factor
     scaling_factor_sig = scaling_factor * 1.702
 
+    pre_x_int = round_ste(pre_x_int)  # snap fake-quant float noise
     x_int_max = jnp.max(pre_x_int, axis=-1, keepdims=True)
     x_int = pre_x_int - x_int_max
 
@@ -88,11 +95,11 @@ def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
 
     factor = floor_ste(INT32_MAX / exp_int_sum)
     sigmoid_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
-    sigmoid_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=x.dtype)
+    sigmoid_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=jnp.float32)
 
-    x_int = pre_x_int * sigmoid_int
+    y_int = pre_x_int * sigmoid_int
     out_scale = scaling_factor * sigmoid_scale
-    return x_int * out_scale, out_scale
+    return y_int, out_scale
 
 
 def int_newton_sqrt(var_int, iters: int = 10, k0: float = 2.0**16):
@@ -106,17 +113,17 @@ def int_newton_sqrt(var_int, iters: int = 10, k0: float = 2.0**16):
     return k
 
 
-def i_layernorm(x, scaling_factor, weight, bias):
-    """I-LayerNorm (ivit_modules.py:10-65) over the last axis.
+def i_layernorm_int(x_int, weight, bias):
+    """I-LayerNorm core (ivit_modules.py:30-65) on integer tensors.
 
-    ``weight``/``bias`` are the affine float parameters (shape [C]).
-    Returns ``(y, out_scale)`` with per-channel
-    ``out_scale = sqrt(C)/2**30 * weight``.
+    Input-scale-free: the reference's ``x_int = x / s`` is the caller's job.
+    Returns ``(y_int, out_scale)`` with per-channel
+    ``out_scale = sqrt(C)/2**30 * weight``; ``y_int`` reaches ~2**26.
     """
-    dim = x.shape[-1]
-    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=x.dtype))
+    dim = x_int.shape[-1]
+    dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=jnp.float32))
 
-    x_int = x / scaling_factor
+    x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
     y_int = x_int - mean_int
     var_int = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
@@ -133,4 +140,28 @@ def i_layernorm(x, scaling_factor, weight, bias):
     bias_int = jnp.floor((b / w) / out_scale)
     y_int = y_int + bias_int
     out_scale = out_scale * weight
+    return y_int, out_scale
+
+
+# ---------------------------------------------------------------------------
+# Fake-quant wrappers (QAT graph)
+# ---------------------------------------------------------------------------
+
+def shiftmax(x, scaling_factor, output_bit: int = 8):
+    """Shiftmax on fake-quant floats; see :func:`shiftmax_int`."""
+    probs_int, out_scale = shiftmax_int(x / scaling_factor, scaling_factor,
+                                        output_bit)
+    return probs_int * out_scale.astype(x.dtype), out_scale.astype(x.dtype)
+
+
+def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
+    """ShiftGELU on fake-quant floats; see :func:`shift_gelu_int`."""
+    y_int, out_scale = shift_gelu_int(x / scaling_factor, scaling_factor,
+                                      output_bit, n)
+    return y_int * out_scale, out_scale
+
+
+def i_layernorm(x, scaling_factor, weight, bias):
+    """I-LayerNorm on fake-quant floats; see :func:`i_layernorm_int`."""
+    y_int, out_scale = i_layernorm_int(x / scaling_factor, weight, bias)
     return y_int * out_scale, out_scale
