@@ -1,0 +1,61 @@
+"""Headline benchmark: DeiT-Small INT8 images/sec/chip on the integer engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup of the int8 engine over the same-architecture
+bf16 float model on the same chip (the reference paper's headline comparison
+is int8-vs-fp32 latency, TVM_benchmark methodology).
+Runs on whatever jax.devices() provides (the real TPU in the driver).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ivit_tpu.engine import freeze_model
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.models import str2model
+    from ivit_tpu.models.vit_float import float_model
+    from ivit_tpu.utils.benchmarking import time_dispatch
+
+    MODEL = "deit_small_patch16_224"
+    BATCH = 128
+    rng = np.random.default_rng(0)
+
+    # --- int8 engine ---
+    model = str2model(MODEL)(gelu_type="ivit", softmax_type="ivit",
+                             layernorm_type="ivit")
+    x_cal = jnp.asarray(rng.normal(size=(16, 224, 224, 3)).astype(np.float32))
+    variables = jax.jit(
+        lambda a: model.init(jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
+    _, st = jax.jit(lambda v, a: model.apply(
+        v, a, running_stat=True, mutable=["quant_stats"]))(variables, x_cal)
+    spec = freeze_model(model, {"params": variables["params"],
+                                "quant_stats": st["quant_stats"]})
+    eng = jax.jit(lambda p, a: engine_forward(type(spec)(spec.config, p), a))
+
+    x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+    t_int8 = time_dispatch(lambda a: eng(spec.params, a), x, iters=30)
+
+    # --- bf16 float baseline, same architecture ---
+    fm = float_model(MODEL)
+    fvars = jax.jit(lambda a: fm.init(jax.random.PRNGKey(0), a))(x_cal)
+    ff = jax.jit(lambda v, a: fm.apply(v, a))
+    t_bf16 = time_dispatch(lambda a: ff(fvars, a), x, iters=30)
+
+    ips = BATCH / t_int8
+    print(json.dumps({
+        "metric": "deit_small_int8_images_per_sec_per_chip",
+        "value": round(ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(t_bf16 / t_int8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
