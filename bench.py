@@ -24,7 +24,7 @@ def main():
     from ivit_tpu.utils.benchmarking import time_dispatch
 
     MODEL = "deit_small_patch16_224"
-    BATCH = 128
+    BATCH = 256
     rng = np.random.default_rng(0)
 
     # --- int8 engine ---
@@ -37,7 +37,8 @@ def main():
         v, a, running_stat=True, mutable=["quant_stats"]))(variables, x_cal)
     spec = freeze_model(model, {"params": variables["params"],
                                 "quant_stats": st["quant_stats"]})
-    eng = jax.jit(lambda p, a: engine_forward(type(spec)(spec.config, p), a))
+    eng = jax.jit(lambda p, a: engine_forward(type(spec)(spec.config, p), a,
+                                             pallas=None))
 
     x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
     t_int8 = time_dispatch(lambda a: eng(spec.params, a), x, iters=30)

@@ -23,10 +23,18 @@ import jax.numpy as jnp
 
 from ..ops import ibert as ibert_ops
 from ..ops import ivit as ivit_ops
+from ..ops.pallas import block as pblk
+from ..ops.pallas import nonlinear as pk
 from ..ops.ppoly import eval_piecewise_poly
 from .freeze import EngineSpec
 
 _DN = (((1,), (0,)), ((), ()))
+
+
+def _use_pallas(pallas):
+    if pallas is not None:
+        return pallas
+    return jax.default_backend() == "tpu"
 
 
 def _dot_i8(a_int, w_int8):
@@ -38,46 +46,80 @@ def _dot_i8(a_int, w_int8):
                                preferred_element_type=jnp.int32)
 
 
+def _container(bits):
+    """Narrowest signed container for a `bits`-clamped integer activation.
+
+    Activations materialize in HBM between fused stages; storing them at
+    their true width (int8/int16 instead of f32) cuts the elementwise memory
+    traffic 4x — the dominant cost of the unfused engine (see the profiler
+    breakdown in git history).
+    """
+    return jnp.int8 if bits <= 8 else (jnp.int16 if bits <= 16 else jnp.int32)
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
 def _requant(acc, m, bits, addend=None):
-    """round(acc * m) (+ addend) clamped to the signed `bits` envelope."""
+    """round(acc * m) (+ addend) clamped + stored in the `bits` container."""
     n = 2 ** (bits - 1) - 1
-    y = jnp.round(acc.astype(jnp.float32) * m)
+    y = jnp.round(_f32(acc) * m)
     if addend is not None:
         y = y + addend
-    return jnp.clip(y, -n - 1, n)
+    return jnp.clip(y, -n - 1, n).astype(_container(bits))
 
 
-def _softmax_int(cfg, blk, scores_int):
+def _softmax_int(cfg, blk, scores_int, pallas=None):
+    """int container scores -> int container probs."""
     base = cfg.base_type("softmax")
     bit = cfg.bitwidths.softmax
+    ct = _container(bit)
     if base == "ivit":
-        probs, _ = ivit_ops.shiftmax_int(scores_int, blk["s_attn"], bit)
-        return probs
+        if _use_pallas(pallas):
+            return pk.shiftmax_p(scores_int.astype(jnp.int8),
+                                 blk["s_attn"], bit)
+        probs, _ = ivit_ops.shiftmax_int(_f32(scores_int), blk["s_attn"], bit)
+        return probs.astype(ct)
     if base == "ibert":
-        exp_int, _ = ibert_ops.ibert_softmax_exp_int(scores_int, blk["s_attn"])
+        exp_int, _ = ibert_ops.ibert_softmax_exp_int(_f32(scores_int),
+                                                     blk["s_attn"])
         # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311)
         exp16 = jnp.clip(jnp.round(exp_int / blk["s_exp_act"]),
                          -(2.0**15), 2.0**15 - 1)
         exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
         factor = jnp.floor(2.0**32 / exp_sum)
-        return jnp.floor(exp16 * factor / 2 ** (32 - bit + 1))
+        return jnp.floor(exp16 * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "ppoly":
         params = cfg.type_params("softmax")
         exp_bits = int(params.get("exp_bits", 16))
-        x_max = jnp.max(scores_int, axis=-1, keepdims=True)
-        x_off = scores_int - x_max + 127
+        sf = _f32(scores_int)
+        x_max = jnp.max(sf, axis=-1, keepdims=True)
+        x_off = sf - x_max + 127
         exp_int = jnp.clip(
             eval_piecewise_poly(x_off, blk["sm_bounds"].astype(jnp.float32),
                                 blk["sm_coeffs"]), 0, None)
         exp_int = jnp.floor(exp_int / 2 ** (30 - exp_bits + 1))
         exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, None)
         factor = jnp.floor(2.0**32 / exp_sum)
-        return jnp.floor(exp_int * factor / 2 ** (32 - bit + 1))
+        return jnp.floor(exp_int * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "float":
-        probs = jax.nn.softmax(scores_int * blk["s_attn"], axis=-1)
+        probs = jax.nn.softmax(_f32(scores_int) * blk["s_attn"], axis=-1)
         qmax = 2 ** (bit - 1) - 1
-        return jnp.clip(jnp.floor(probs / (2.0 / 2**bit)), 0, qmax)
+        return jnp.clip(jnp.floor(probs / (2.0 / 2**bit)), 0, qmax).astype(ct)
     raise ValueError(f"unknown softmax family {base!r}")
+
+
+def _gelu_requant_int(cfg, blk, x_int, out_bits, pallas=None):
+    """GELU followed by the dyadic requant to the next activation scale.
+
+    The ivit family fuses both into one Pallas kernel (int8 -> int8)."""
+    base = cfg.base_type("gelu")
+    if base == "ivit" and _use_pallas(pallas):
+        return pk.shift_gelu_requant_p(x_int.astype(jnp.int8), blk["s_gelu"],
+                                       blk["m_gelu"], 8, out_bits=out_bits)
+    y = _gelu_int(cfg, blk, _f32(x_int))
+    return _requant(y, blk["m_gelu"], out_bits)
 
 
 def _gelu_int(cfg, blk, x_int):
@@ -110,6 +152,7 @@ def _gelu_int(cfg, blk, x_int):
 
 def _layernorm_int(cfg, x_int, bias_int, shift):
     base = cfg.base_type("ln")
+    x_int = _f32(x_int)
     if base == "ivit":
         mean_int = jnp.round(jnp.mean(x_int, axis=-1, keepdims=True))
         y_int = x_int - mean_int
@@ -133,8 +176,11 @@ def _layernorm_int(cfg, x_int, bias_int, shift):
     raise ValueError(f"unknown layernorm family {base!r}")
 
 
-def engine_forward(spec: EngineSpec, images):
-    """images: f32 NHWC [B, img, img, 3] -> float logits [B, classes]."""
+def engine_forward(spec: EngineSpec, images, pallas=None):
+    """images: f32 NHWC [B, img, img, 3] -> float logits [B, classes].
+
+    ``pallas``: None = auto (fused kernels on TPU), True/False to force.
+    """
     cfg = spec.config
     p = spec.params
     bw = cfg.bitwidths
@@ -145,67 +191,112 @@ def engine_forward(spec: EngineSpec, images):
     H = cfg.num_heads
     Dh = cfg.head_dim
     N = cfg.num_patches + 1
+    # fused block kernels cover the ivit softmax/gelu families with
+    # ivit/ibert LayerNorm; other families run the unfused per-op path
+    use_blocks = (_use_pallas(pallas)
+                  and cfg.base_type("softmax") == "ivit"
+                  and cfg.base_type("gelu") == "ivit"
+                  and cfg.base_type("ln") in ("ivit", "ibert"))
+    n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
     # input quantization (SymmetricQuantFunction on the raw image)
-    x = jnp.clip(jnp.round(images / p["s_input"]), -128, 127)
+    x = jnp.clip(jnp.round(images / p["s_input"]), -128, 127).astype(jnp.int8)
 
     # patch embedding as one int8 GEMM over extracted patches
     x = x.reshape(B, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, ps * ps * 3)
     acc = _dot_i8(x, p["patch"]["w"]) + p["patch"]["b"]
-    x = _requant(acc, p["patch"]["m"], bw.patch_embed)          # [B,196,C]
+    x = _requant(acc, p["patch"]["m"], bw.patch_embed)          # i8 [B,196,C]
 
     # cls concat (shares patch scale) + positional add at s_block0
-    cls = jnp.broadcast_to(p["cls_int"], (B, 1, C))
-    x = jnp.concatenate([cls, x], axis=1)                        # ints at s_patch
-    x = jnp.clip(jnp.round(x * p["m_x0"]) + p["pos_addend"],
-                 -(2.0 ** (bw.block_input - 1)), 2.0 ** (bw.block_input - 1) - 1)
+    cls = jnp.broadcast_to(p["cls_int"].astype(jnp.int32), (B, 1, C))
+    x = jnp.concatenate([cls, x.astype(jnp.int32)], axis=1)      # ints at s_patch
+    x = jnp.clip(jnp.round(_f32(x) * p["m_x0"]) + p["pos_addend"],
+                 -(2.0 ** (bw.block_input - 1)),
+                 2.0 ** (bw.block_input - 1) - 1
+                 ).astype(_container(bw.block_input))
+
+    def _residual_requant(y, my, xr, mx, bits):
+        out = jnp.clip(jnp.round(_f32(y) * my) + jnp.round(_f32(xr) * mx),
+                       -(2.0 ** (bits - 1)), 2.0 ** (bits - 1) - 1)
+        return out.astype(_container(bits))
+
+    if use_blocks:
+        ln_base = cfg.base_type("ln")
+        if n_pad != N:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+        for blk in p["blocks"]:
+            x = pblk.attn_block_p(
+                x, ln_bias=blk["ln1_bias_int"], m_ln=blk["m_ln1"],
+                ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
+                qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
+                m_attn=blk["m_attn"], s_attn=blk["s_attn"], m_av=blk["m_av"],
+                proj_w=blk["proj_w"], proj_b=blk["proj_b"],
+                m_proj=blk["m_proj"], m_res_x=blk["m_res1_x"],
+                m_res_id=blk["m_res1_id"], num_heads=H, n_valid=N,
+                ln_base=ln_base, sm_bit=bw.softmax,
+                attn_bits=8, out_bits=bw.norm2_in,
+                out_dtype=_container(bw.norm2_in))
+            xf = x.reshape(B * n_pad, C)
+            xf = pblk.mlp_block_p(
+                xf, ln_bias=blk["ln2_bias_int"], m_ln=blk["m_ln2"],
+                ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
+                fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],
+                s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
+                fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"], m_fc2=blk["m_fc2"],
+                m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
+                ln_base=ln_base, out_bits=bw.att_block_out,
+                out_dtype=_container(bw.att_block_out))
+            x = xf.reshape(B, n_pad, C)
+        y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
+        y = _requant(y, p["m_lnf"], 8)
+        acc = _dot_i8(y[:, 0], p["head_w"]) + p["head_b"]
+        return acc.astype(jnp.float32) * p["head_scale"]
 
     for blk in p["blocks"]:
         # --- attention half ---
         y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
         y = _requant(y, blk["m_ln1"], 8)
         acc = _dot_i8(y, blk["qkv_w"]) + blk["qkv_b"]
-        y = _requant(acc, blk["m_qkv"], 8)                       # [B,N,3C]
+        y = _requant(acc, blk["m_qkv"], 8)                       # i8 [B,N,3C]
 
-        qkv = y.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
-        q_, k_, v_ = qkv[0], qkv[1], qkv[2]                      # [B,H,N,Dh]
+        # transpose-free attention: slice heads, contract via dot_general
+        qkv = y.reshape(B, N, 3, H, Dh)                          # i8 view
+        q_, k_, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]    # [B,N,H,Dh]
         scores = jax.lax.dot_general(
-            q_.astype(jnp.int8), k_.astype(jnp.int8),
-            (((3,), (3,)), ((0, 1), (0, 1))),
+            q_, k_, (((3,), (3,)), ((0, 2), (0, 2))),
             preferred_element_type=jnp.int32)                    # [B,H,N,N]
         scores = _requant(scores, blk["m_attn"], 8)
 
-        probs = _softmax_int(cfg, blk, scores)                   # ints, >=0
+        probs = _softmax_int(cfg, blk, scores, pallas=pallas)    # i8 >=0
+        # probs [B,H,Nq,Nk] x v [B,Nk,H,Dh], batched over (B, H):
         ctx = jax.lax.dot_general(
-            probs.astype(jnp.int8), v_.astype(jnp.int8),
-            (((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.int32)                    # [B,H,N,Dh]
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, C)
-        y = _requant(ctx, blk["m_av"], 8)
-        acc = _dot_i8(y, blk["proj_w"]) + blk["proj_b"]
+            probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.int32)                    # [B,H,Nq,Dh]
+        y = _requant(ctx, blk["m_av"], 8)                        # i8 [B,H,N,Dh]
+        # proj contracts (H, Dh) jointly -> no transpose back
+        proj_w3 = blk["proj_w"].reshape(H, Dh, C)
+        acc = jax.lax.dot_general(
+            y, proj_w3, (((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32) + blk["proj_b"]    # [B,N,C]
         y = _requant(acc, blk["m_proj"], bw.attention_out)
 
         # residual add #1 (integer-domain dual requant)
-        x = jnp.clip(jnp.round(y * blk["m_res1_x"])
-                     + jnp.round(x * blk["m_res1_id"]),
-                     -(2.0 ** (bw.norm2_in - 1)), 2.0 ** (bw.norm2_in - 1) - 1)
+        x = _residual_requant(y, blk["m_res1_x"], x, blk["m_res1_id"],
+                              bw.norm2_in)
 
         # --- MLP half ---
         y = _layernorm_int(cfg, x, blk["ln2_bias_int"], blk["ln2_shift"])
         y = _requant(y, blk["m_ln2"], 8)
         acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
         y = _requant(acc, blk["m_fc1"], 8)
-        y = _gelu_int(cfg, blk, y)
-        y = _requant(y, blk["m_gelu"], 8)
+        y = _gelu_requant_int(cfg, blk, y, 8, pallas=pallas)
         acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
         y = _requant(acc, blk["m_fc2"], bw.mlp_out)
 
         # residual add #2
-        x = jnp.clip(jnp.round(y * blk["m_res2_x"])
-                     + jnp.round(x * blk["m_res2_id"]),
-                     -(2.0 ** (bw.att_block_out - 1)),
-                     2.0 ** (bw.att_block_out - 1) - 1)
+        x = _residual_requant(y, blk["m_res2_x"], x, blk["m_res2_id"],
+                              bw.att_block_out)
 
     # final norm -> cls token -> head
     y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
@@ -218,10 +309,10 @@ def engine_forward(spec: EngineSpec, images):
 class Engine:
     """Callable integer inference engine for one frozen model."""
 
-    def __init__(self, spec: EngineSpec):
+    def __init__(self, spec: EngineSpec, pallas=None):
         self.spec = spec
         self._jitted = jax.jit(lambda params, images: engine_forward(
-            EngineSpec(self.spec.config, params), images))
+            EngineSpec(self.spec.config, params), images, pallas=pallas))
 
     def __call__(self, images):
         return self._jitted(self.spec.params, images)

@@ -95,12 +95,23 @@ def ibert_gelu(x, scaling_factor):
     return y_int * out_scale, out_scale
 
 
-def ibert_softmax_exp_int(x_int, scaling_factor):
-    """First half of I-BERT softmax on integer tensors (ibert:304-309)."""
+def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None):
+    """First half of I-BERT softmax on integer tensors (ibert:304-309).
+
+    ``n_valid``: padded columns (token-aligned engine layout) are excluded
+    from the max and produce exactly zero exp."""
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
+    mask = None
+    if n_valid is not None and n_valid != x_int.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, x_int.shape, x_int.ndim - 1)
+        mask = col < n_valid
+        x_int = jnp.where(mask, x_int, -(2.0**23))
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
-    return int_exp(x_int, scaling_factor)
+    exp_int, exp_scale = int_exp(x_int, scaling_factor)
+    if mask is not None:
+        exp_int = jnp.where(mask, exp_int, 0.0)
+    return exp_int, exp_scale
 
 
 def ibert_softmax_exp(x, scaling_factor):

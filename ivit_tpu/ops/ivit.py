@@ -57,17 +57,30 @@ def int_exp_shift(x_int, scaling_factor, n: int):
 # Integer-domain cores
 # ---------------------------------------------------------------------------
 
-def shiftmax_int(x_int, scaling_factor, output_bit: int = 8):
+def _pad_mask(shape, n_valid):
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=len(shape) - 1)
+    return col < n_valid
+
+
+def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
     """Shiftmax core (ivit_modules.py:164-179) on integer tensors.
 
     Returns ``(probs_int, out_scale)`` with probs in [0, 2**(bit-1)] and
-    fixed ``out_scale = 2**-(bit-1)``.
+    fixed ``out_scale = 2**-(bit-1)``.  ``n_valid``: when the last axis is
+    padded (token-aligned engine layout), columns >= n_valid are excluded
+    from the max and contribute exactly zero probability — results on valid
+    columns are bit-identical to the unpadded computation.
     """
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
+    if n_valid is not None and n_valid != x_int.shape[-1]:
+        mask = _pad_mask(x_int.shape, n_valid)
+        x_int = jnp.where(mask, x_int, -(2.0**23))
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
 
     exp_int, _ = int_exp_shift(x_int, scaling_factor, n=15)
+    if n_valid is not None and n_valid != x_int.shape[-1]:
+        exp_int = jnp.where(mask, exp_int, 0.0)
     exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     exp_int_sum = jnp.minimum(exp_int_sum, INT32_MAX)
 

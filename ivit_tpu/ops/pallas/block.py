@@ -1,0 +1,290 @@
+"""Fused transformer-block Pallas kernels (the engine's hot path).
+
+Design: the per-op XLA engine spends most of its time on elementwise-chain
+fusions, dtype converts and layout copies between GEMMs (see profiles in git
+history).  These kernels run an entire block *half* in one ``pallas_call``:
+weights live in VMEM for the whole sweep, every intermediate stays on-chip,
+and HBM sees exactly one int8 read and one int8 write of the token stream.
+
+``mlp_block_p``: I-LayerNorm -> requant -> fc1(int8 MXU) -> requant ->
+ShiftGELU -> requant -> fc2(int8 MXU) -> requant -> integer residual add.
+Row-local (tokens independent), so the grid tiles rows freely.
+
+All arithmetic is the same f32-held-integer math as the unfused engine —
+bit-identical outputs (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import _interp
+
+from .nonlinear import _int_exp_shift, _pow2
+
+INT32_MAX = 2.0**31 - 1
+
+
+def _newton_sqrt(var, iters=10, k0=2.0**16):
+    k = jnp.full_like(var, k0)
+    for _ in range(iters):
+        k = jnp.floor((k + jnp.floor(var / k)) * 0.5)
+    return k
+
+
+def _i_layernorm(x, bias_int):
+    """ivit I-LayerNorm core on f32-held ints (ivit_modules.py:30-65)."""
+    mean = jnp.round(jnp.mean(x, axis=-1, keepdims=True))
+    y = x - mean
+    var = jnp.sum(y * y, axis=-1, keepdims=True)
+    std = _newton_sqrt(var)
+    factor = jnp.floor(INT32_MAX / std)
+    return jnp.floor(y * factor * 0.5) + bias_int
+
+
+def _ibert_layernorm(x, bias_int, pw_shift):
+    """ibert LayerNorm core, frozen shift (ibert_modules.py:112-158).
+
+    ``pw_shift`` is the precomputed exact power 2**shift (freeze-time)."""
+    mean = jnp.round(jnp.mean(x, axis=-1, keepdims=True))
+    y = x - mean
+    y_sh = jnp.floor(y * (1.0 / pw_shift))
+    var = jnp.sum(y_sh * y_sh, axis=-1, keepdims=True)
+    std = jnp.floor(jnp.sqrt(var)) * pw_shift
+    factor = jnp.floor(2.0**31 / std)
+    return jnp.floor(y * factor * 0.5) + bias_int
+
+
+def _requant(acc, m, bits):
+    lim = 2.0 ** (bits - 1)
+    return jnp.clip(jnp.round(acc * m), -lim, lim - 1)
+
+
+def _shift_gelu(x, s_sig, output_bit=8, n=23):
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    exp_int = _int_exp_shift(x - x_max, s_sig, n)
+    exp_max = _int_exp_shift(-x_max, s_sig, n)
+    exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
+    factor = jnp.floor(INT32_MAX / exp_sum)
+    sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
+    return x * sigmoid_int
+
+
+def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
+                w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
+                ln_base, out_bits):
+    x_in = x_ref[...].astype(jnp.float32)
+    s_sig = sc_ref[0]       # s_gelu * 1.702
+    m_gelu = sc_ref[1]
+    m_res_x = sc_ref[2]
+    m_res_id = sc_ref[3]
+    pw_shift = sc_ref[4]
+
+    if ln_base == "ivit":
+        y = _i_layernorm(x_in, lnb_ref[...])
+    else:
+        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
+    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(y, w1_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + b1_ref[...]
+    h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
+
+    g = _shift_gelu(h, s_sig)
+    g = _requant(g, m_gelu, 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + b2_ref[...]
+    y2 = _requant(acc.astype(jnp.float32), m2_ref[...], out_bits)
+
+    lim = 2.0 ** (out_bits - 1)
+    out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
+                   -lim, lim - 1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
+                s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
+                ln_base="ivit", out_bits=8, out_dtype=jnp.int8,
+                tile_rows: int = 512, interpret: bool = False):
+    """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
+
+    Wait-free residual: the kernel re-reads its own input tile for the
+    integer residual add, so the caller passes the *block input* once.
+    """
+    r, c = x_int.shape
+    hd = fc1_w.shape[1]
+    tile = min(tile_rows, r)
+    grid = (pl.cdiv(r, tile),)
+    scalars = jnp.stack([
+        jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702,
+        jnp.reshape(m_gelu, ()).astype(jnp.float32),
+        jnp.reshape(m_res_x, ()).astype(jnp.float32),
+        jnp.reshape(m_res_id, ()).astype(jnp.float32),
+        jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
+    ])
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, ln_base=ln_base, out_bits=out_bits),
+        out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interp(interpret),
+    )(x_int,
+      ln_bias.astype(jnp.float32).reshape(1, c),
+      m_ln.astype(jnp.float32).reshape(1, c),
+      fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
+      fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
+      scalars)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused attention half-block
+# ---------------------------------------------------------------------------
+
+def _shiftmax(x, s, output_bit, n_valid):
+    """In-kernel Shiftmax over the last axis with pad-column masking."""
+    mask = None
+    if n_valid != x.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        mask = col < n_valid
+        x = jnp.where(mask, x, -(2.0**23))
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    exp_int = _int_exp_shift(x - x_max, s, 15)
+    if mask is not None:
+        exp_int = jnp.where(mask, exp_int, 0.0)
+    exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
+    factor = jnp.floor(INT32_MAX / exp_sum)
+    return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
+
+
+def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
+                 wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref, ctx_ref, *,
+                 ln_base, num_heads, n_valid, sm_bit, out_bits, attn_bits):
+    t, np_, c = x_ref.shape
+    dh = c // num_heads
+    x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
+    m_attn = sc_ref[0]
+    s_attn = sc_ref[1]
+    m_av = sc_ref[2]
+    m_res_x = sc_ref[3]
+    m_res_id = sc_ref[4]
+    pw_shift = sc_ref[5]
+
+    if ln_base == "ivit":
+        y = _i_layernorm(x_in, lnb_ref[...])
+    else:
+        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
+    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + bqkv_ref[...]
+    qkv = _requant(acc.astype(jnp.float32), mqkv_ref[...], 8).astype(jnp.int8)
+
+    lim_a = 2.0 ** (attn_bits - 1)
+    for ti in range(t):
+        rows = slice(ti * np_, (ti + 1) * np_)
+        for h in range(num_heads):
+            q_h = qkv[rows, h * dh:(h + 1) * dh]
+            k_h = qkv[rows, c + h * dh:c + (h + 1) * dh]
+            v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)           # [Np, Np]
+            scores = jnp.clip(jnp.round(scores.astype(jnp.float32) * m_attn),
+                              -lim_a, lim_a - 1)
+            probs = _shiftmax(scores, s_attn, sm_bit, n_valid).astype(jnp.int8)
+            ctx_h = jax.lax.dot_general(
+                probs, v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)           # [Np, Dh]
+            ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
+                ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(ctx_ref[...], wproj_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + bproj_ref[...]
+    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], out_bits)
+
+    lim = 2.0 ** (out_bits - 1)
+    out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
+                   -lim, lim - 1)
+    o_ref[...] = out.reshape(t, np_, c).astype(o_ref.dtype)
+
+
+def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
+                 m_attn, s_attn, m_av, proj_w, proj_b, m_proj,
+                 m_res_x, m_res_id, num_heads, n_valid,
+                 ln_base="ivit", sm_bit=8, attn_bits=8, out_bits=8,
+                 out_dtype=jnp.int8, img_tile: int = 2,
+                 interpret: bool = False):
+    """Fused attention half-block on the padded token stream.
+
+    ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
+    ``n_valid`` real tokens).  Per grid program: LN -> qkv GEMM -> per-head
+    int8 attention with in-VMEM Shiftmax -> proj GEMM -> integer residual.
+    ivit softmax family only (others use the unfused path).
+    """
+    b, np_, c = x_int.shape
+    t = min(img_tile, b)
+    grid = (pl.cdiv(b, t),)
+    scalars = jnp.stack([
+        jnp.reshape(m_attn, ()).astype(jnp.float32),
+        jnp.reshape(s_attn, ()).astype(jnp.float32),
+        jnp.reshape(m_av, ()).astype(jnp.float32),
+        jnp.reshape(m_res_x, ()).astype(jnp.float32),
+        jnp.reshape(m_res_id, ()).astype(jnp.float32),
+        jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
+    ])
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, ln_base=ln_base, num_heads=num_heads,
+                          n_valid=n_valid, sm_bit=sm_bit, out_bits=out_bits,
+                          attn_bits=attn_bits),
+        out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8)],
+        interpret=_interp(interpret),
+    )(x_int,
+      ln_bias.astype(jnp.float32).reshape(1, c),
+      m_ln.astype(jnp.float32).reshape(1, c),
+      qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
+      proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
+      scalars)
+    return out

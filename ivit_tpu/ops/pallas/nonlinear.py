@@ -1,0 +1,176 @@
+"""Fused Pallas TPU kernels for the integer nonlinearities.
+
+The ablation profile (see git history) shows the XLA engine spends ~half its
+time in the softmax/GELU elementwise chains: each row reduction splits the
+fusion, so the [B,H,197,197] score tensor and [B,197,4C] MLP hidden tensor
+make 3-4 HBM round trips.  These kernels do the whole chain — including the
+following dyadic requantization — in one VMEM pass: int8 in, int8 out.
+
+Bit-compatibility: the in-kernel math is the same float32-held integer
+arithmetic as ``ops/ivit.py`` / ``ops/ibert.py`` cores (exact powers of two
+via bit-constructed floats), so fused and unfused paths produce identical
+integers; ``tests/test_pallas.py`` asserts elementwise equality.
+
+Row layout: callers flatten leading dims to [R, N]; the grid tiles R, each
+program holds (TILE_R, N) in VMEM.  N (197 for ViT, row length) is padded by
+Mosaic to the lane multiple; padded columns are driven to exp=0 by clamping
+semantics (see masks below).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import _interp
+
+INT32_MAX = 2.0**31 - 1
+
+
+def _pow2(k):
+    """Exact 2**k inside the kernel (see ops/quant.py pow2)."""
+    ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+
+
+def _floor_div(x, d, r_d):
+    """Exact floor(x/d) for the shift-exp quotient, division-free (7 VPU ops).
+
+    Preconditions (guaranteed at the call sites): ``x <= 0``, ``d < 0``
+    integers, so the true quotient ``t = x/d >= 0``.  ``q0 = floor(x*r_d +
+    2**-13)`` overshoots by at most one (the +eps dominates the <=t*2**-23
+    reciprocal error, making undershoot impossible); a positive remainder
+    detects and removes the overshoot.  Exact for every scale.
+    """
+    q0 = jnp.floor(x * r_d + 2.0**-13)
+    r0 = x - d * q0
+    return q0 - (r0 > 0).astype(x.dtype)
+
+
+def _int_exp_shift(x_int, scaling_factor, n):
+    """ivit int_exp_shift on f32-held ints (ivit_modules.py:89-103).
+
+    Division-free: /2 and /16 are exact power-of-two multiplies; the
+    quotient by x0 uses the multiply-and-correct trick above.
+    """
+    x_int = x_int + jnp.floor(x_int * 0.5) - jnp.floor(x_int * 0.0625)
+    x0_int = jnp.floor(-1.0 / scaling_factor)
+    x_int = jnp.maximum(x_int, n * x0_int)
+    q = _floor_div(x_int, x0_int, 1.0 / x0_int)
+    r = x_int - x0_int * q
+    exp_int = r * 0.5 - x0_int
+    return jnp.clip(jnp.floor(exp_int * _pow2(n - q)), 0, None)
+
+
+# ---------------------------------------------------------------------------
+# Shiftmax (+ optional fused requant of the following QuantAct)
+# ---------------------------------------------------------------------------
+
+def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
+    x = x_ref[...].astype(jnp.float32)
+    s = s_ref[0]
+    ncols = x.shape[-1]
+    mask = None
+    if n_valid != ncols:
+        # padding columns must never win the max and contribute exp == 0
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
+        mask = col < n_valid
+        x = jnp.where(mask, x, -(2.0**23))
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    x = x - x_max
+    exp_int = _int_exp_shift(x, s, 15)
+    if mask is not None:
+        exp_int = jnp.where(mask, exp_int, 0.0)
+    exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
+    factor = jnp.floor(INT32_MAX / exp_sum)
+    probs = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
+    o_ref[...] = probs.astype(jnp.int8)
+
+
+def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
+               n_valid=None, tile_rows: int = 1024, interpret: bool = False):
+    """Fused Shiftmax: int8 scores [.., N] -> int8 probs, one VMEM pass."""
+    shape = scores_int8.shape
+    n = shape[-1]
+    n_valid = n if n_valid is None else n_valid
+    x = scores_int8.reshape(-1, n)
+    rows = x.shape[0]
+    tile = min(tile_rows, rows)
+    grid = (pl.cdiv(rows, tile),)
+    s = jnp.reshape(s_attn, (1,)).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_shiftmax_kernel, output_bit=output_bit,
+                          n_valid=n_valid),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interp(interpret),
+    )(x, s)
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# ShiftGELU fused with the following dyadic requant
+# ---------------------------------------------------------------------------
+
+def _shift_gelu_kernel(x_ref, sc_ref, o_ref, *, output_bit, n, out_bits):
+    x = x_ref[...].astype(jnp.float32)
+    s_sig = sc_ref[0]          # s_gelu * 1.702
+    m_out = sc_ref[1]          # requant multiplier (gelu-out -> next scale)
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    xc = x - x_max
+    exp_int = _int_exp_shift(xc, s_sig, n)
+    exp_max = _int_exp_shift(-x_max, s_sig, n)
+    exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
+    factor = jnp.floor(INT32_MAX / exp_sum)
+    sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
+    y_int = x * sigmoid_int
+    # fused requant to the next activation scale
+    lim = 2.0 ** (out_bits - 1)
+    y = jnp.clip(jnp.round(y_int * m_out), -lim, lim - 1)
+    o_ref[...] = y.astype(jnp.int8)
+
+
+def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
+                         n: int = 23, out_bits: int = 8, *,
+                         tile_rows: int = 512, interpret: bool = False):
+    """Fused ShiftGELU + requant: int8 [.., H] -> int8 on the next scale.
+
+    Note: the GELU max-reduction runs over the full last axis (the MLP hidden
+    dim), matching ivit_modules.py:110.
+    """
+    shape = x_int8.shape
+    h = shape[-1]
+    x = x_int8.reshape(-1, h)
+    rows = x.shape[0]
+    tile = min(tile_rows, rows)
+    grid = (pl.cdiv(rows, tile),)
+    scalars = jnp.stack([
+        jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702,
+        jnp.reshape(m_out, ()).astype(jnp.float32),
+    ])
+    out = pl.pallas_call(
+        functools.partial(_shift_gelu_kernel, output_bit=output_bit, n=n,
+                          out_bits=out_bits),
+        out_shape=jax.ShapeDtypeStruct((rows, h), jnp.int8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interp(interpret),
+    )(x, scalars)
+    return out.reshape(shape)
