@@ -397,7 +397,7 @@ class PPolyGELU(nn.Module):
         bounds_v = self.variable("quant_stats", "bounds",
                                  lambda: jnp.zeros((self.seg - 1,), jnp.int32))
         coeffs_v = self.variable("quant_stats", "coeffs",
-                                 lambda: jnp.zeros((self.seg, self.deg + 1), jnp.float32))
+                                 lambda: jnp.zeros((self.seg, self.deg + 1), jnp.int32))
         fitted_v = self.variable("quant_stats", "fitted",
                                  lambda: jnp.zeros((1,), jnp.float32))
         x_lo_v = self.variable("quant_stats", "x_lo",
@@ -460,7 +460,7 @@ class PPolySoftmax(nn.Module):
         bounds_v = self.variable("quant_stats", "bounds",
                                  lambda: jnp.zeros((self.seg - 1,), jnp.int32))
         coeffs_v = self.variable("quant_stats", "coeffs",
-                                 lambda: jnp.zeros((self.seg, self.deg + 1), jnp.float32))
+                                 lambda: jnp.zeros((self.seg, self.deg + 1), jnp.int32))
         fitted_v = self.variable("quant_stats", "fitted",
                                  lambda: jnp.zeros((1,), jnp.float32))
         x_lo_v = self.variable("quant_stats", "x_lo",

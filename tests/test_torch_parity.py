@@ -1,0 +1,117 @@
+"""Cross-framework parity: ingest a *real* reference checkpoint and match it.
+
+Instantiates the actual reference PyTorch model (read-only mount), calibrates
+it on random data (with ``.cuda`` no-op'd for CPU), saves its checkpoint,
+converts it through ``ivit_tpu.compat.torch_ckpt``, and compares logits of
+the reference eager model vs our QAT sim and integer engine.
+
+This is the accuracy-parity evidence the environment allows without
+ImageNet: same weights, same calibration state, same integer network.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+try:
+    from models.vit_quant import deit_tiny_patch16_224 as ref_deit_tiny
+    from models.model_utils import freeze_model as ref_freeze
+except Exception as exc:  # pragma: no cover
+    pytest.skip(f"reference import failed: {exc}", allow_module_level=True)
+
+
+@pytest.fixture(autouse=True)
+def _cpu_cuda_noop(monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+def _healthy_init(ref):
+    """Re-init with magnitudes that keep signal alive through 12 blocks.
+
+    The reference's trunc_normal(0.02) init collapses activations on random
+    inputs (attention output ~0, near-constant logits), which makes parity
+    comparison meaningless; scale weights like a trained network instead.
+    """
+    gen = torch.Generator().manual_seed(1)
+    for mod in ref.modules():
+        if isinstance(mod, torch.nn.Linear):
+            fan_in = mod.weight.shape[1]
+            mod.weight.data.normal_(0, 1.2 / fan_in**0.5, generator=gen)
+            if mod.bias is not None:
+                mod.bias.data.normal_(0, 0.02, generator=gen)
+    ref.cls_token.data.normal_(0, 0.5, generator=gen)
+    ref.pos_embed.data.normal_(0, 0.5, generator=gen)
+
+
+def _run_reference(types, rng, calib_batches=2):
+    torch.manual_seed(0)
+    ref = ref_deit_tiny(pretrained=False, gelu_type=types[0],
+                        softmax_type=types[1], layernorm_type=types[2])
+    _healthy_init(ref)
+    ref.eval()
+    with torch.no_grad():
+        for _ in range(calib_batches):
+            xb = torch.from_numpy(
+                rng.normal(size=(2, 3, 224, 224)).astype(np.float32))
+            ref(xb)  # running_stat defaults True -> ranges settle
+    ref_freeze(ref)
+    x_eval = torch.from_numpy(
+        rng.normal(size=(4, 3, 224, 224)).astype(np.float32))
+    with torch.no_grad():
+        logits_ref = ref(x_eval).numpy()
+    return ref, x_eval.numpy(), logits_ref
+
+
+@pytest.mark.parametrize("types", [
+    ("ivit", "ivit", "ivit"),
+    ("ibert", "ibert", "ibert"),
+])
+def test_reference_checkpoint_roundtrip(tmp_path, types, rng):
+    from ivit_tpu.compat.torch_ckpt import load_into_model
+    from ivit_tpu.engine import freeze_model as tpu_freeze
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.models import str2model
+
+    ref, x_eval, logits_ref = _run_reference(types, rng)
+
+    ckpt = tmp_path / "ref.pth.tar"
+    torch.save({"model": ref.state_dict(),
+                "model_config": {"model": "deit_tiny_patch16_224",
+                                 "gelu_type": types[0],
+                                 "softmax_type": types[1],
+                                 "layernorm_type": types[2]}}, ckpt)
+
+    model = str2model("deit_tiny_patch16_224")(
+        gelu_type=types[0], softmax_type=types[1], layernorm_type=types[2])
+    x_nhwc = jnp.asarray(x_eval.transpose(0, 2, 3, 1))
+    variables, report = load_into_model(model, str(ckpt), x_nhwc[:1],
+                                        strict=True)
+    assert not report["missing"], report["missing"]
+
+    variables = jax.tree.map(jnp.asarray, variables)
+    logits_sim = np.asarray(model.apply(variables, x_nhwc,
+                                        running_stat=False))
+    # Same integer network.  Residual deviation comes from float-noise floor
+    # ties: torch evaluates floor() on int*scale/scale round-trips whose
+    # ~1ulp noise is implementation-specific (its own TVM int8 deployment
+    # differs from eager torch the same way); we snap to the exact integer
+    # (ops/ivit.py).  Each nonlinearity can flip +-1 int, compounding to a
+    # few percent of logit scale over 12 blocks — ranking must agree.
+    assert (logits_sim.argmax(-1) == logits_ref.argmax(-1)).all()
+    scale = np.abs(logits_ref).max()
+    rel = np.abs(logits_sim - logits_ref).max() / scale
+    assert rel < 0.2, rel
+
+    spec = tpu_freeze(model, variables)
+    logits_eng = np.asarray(engine_forward(spec, x_nhwc, pallas=False))
+    assert (logits_eng.argmax(-1) == logits_ref.argmax(-1)).all()
+    rel = np.abs(logits_eng - logits_ref).max() / scale
+    assert rel < 0.2, rel
