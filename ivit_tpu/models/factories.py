@@ -7,6 +7,8 @@ float pretrained weights or QAT checkpoints are ingested via
 
 from __future__ import annotations
 
+from .swin import (swin_base_patch4_window7_224, swin_small_patch4_window7_224,
+                   swin_tiny_patch4_window7_224)
 from .vit import BitWidths, VisionTransformer
 
 
@@ -38,6 +40,9 @@ def vit_large_patch16_224(**kwargs):
 
 
 MODEL_REGISTRY = {
+    "swin_tiny_patch4_window7_224": swin_tiny_patch4_window7_224,
+    "swin_small_patch4_window7_224": swin_small_patch4_window7_224,
+    "swin_base_patch4_window7_224": swin_base_patch4_window7_224,
     "deit_tiny_patch16_224": deit_tiny_patch16_224,
     "deit_small_patch16_224": deit_small_patch16_224,
     "deit_base_patch16_224": deit_base_patch16_224,
