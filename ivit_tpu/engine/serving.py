@@ -1,0 +1,182 @@
+"""Serving loop: continuous batching over the integer engine.
+
+Replaces the reference's deployment harnesses (``scripts/inference.py``
+latency loop + ``TVM_benchmark/evaluate_latency.py``) with a production
+shape: a request queue, a batcher thread that assembles fixed-size device
+batches (padding the tail), double-buffered host->device feed via JAX's
+async dispatch, per-request latency accounting, and data-parallel scale-out
+over a ``jax.sharding.Mesh`` (batch sharded on the data axis, engine params
+replicated — SURVEY §5.8's TPU-native design; nothing to port, the
+reference's distributed helpers are vestigial).
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import batch_sharding, make_mesh, replicated
+from .freeze import EngineSpec
+from .vit_int import engine_forward
+
+
+class ServingMetrics:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.latencies_ms: list = []
+        self.batches = 0
+        self.images = 0
+        self.started = time.perf_counter()
+
+    def record(self, batch_size: int, latencies_ms: Sequence[float]):
+        with self.lock:
+            self.batches += 1
+            self.images += batch_size
+            self.latencies_ms.extend(latencies_ms)
+            if len(self.latencies_ms) > 100000:
+                self.latencies_ms = self.latencies_ms[-50000:]
+
+    def summary(self) -> dict:
+        with self.lock:
+            lat = np.asarray(self.latencies_ms) if self.latencies_ms else \
+                np.zeros(1)
+            elapsed = time.perf_counter() - self.started
+            return {
+                "images": self.images,
+                "batches": self.batches,
+                "images_per_sec": self.images / max(elapsed, 1e-9),
+                "latency_ms_p50": float(np.percentile(lat, 50)),
+                "latency_ms_p95": float(np.percentile(lat, 95)),
+                "latency_ms_max": float(lat.max()),
+            }
+
+
+class ServingEngine:
+    """Continuous-batching server over a frozen integer engine.
+
+    ``submit(image) -> Future[logits]``; a batcher thread collects requests
+    into ``batch_size`` device batches (padding the tail after
+    ``max_wait_ms``), keeps up to ``inflight`` batches dispatched (JAX async
+    dispatch overlaps host batching, transfer, and device compute), and
+    resolves futures as device results land.
+
+    ``mesh``: optional Mesh for data-parallel multi-device serving; the
+    batch is sharded over the data axis, parameters replicated.
+    """
+
+    def __init__(self, spec: EngineSpec, batch_size: int = 64,
+                 max_wait_ms: float = 5.0, inflight: int = 2,
+                 mesh=None, devices=None, pallas: Optional[bool] = None):
+        self.spec = spec
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.inflight = max(1, inflight)
+        self.metrics = ServingMetrics()
+        self._queue: queue_mod.Queue = queue_mod.Queue()
+        self._stop = threading.Event()
+
+        if mesh is None and devices is not None:
+            mesh = make_mesh(dp=len(devices), tp=1, devices=devices)
+        self.mesh = mesh
+        if mesh is not None:
+            self._batch_sharding = batch_sharding(mesh)
+            params = jax.device_put(spec.params, replicated(mesh))
+            self._params = params
+            self._fwd = jax.jit(
+                lambda p, x: engine_forward(
+                    EngineSpec(spec.config, p), x, pallas=pallas),
+                in_shardings=(replicated(mesh), self._batch_sharding),
+                out_shardings=self._batch_sharding)
+        else:
+            self._batch_sharding = None
+            self._params = spec.params
+            self._fwd = jax.jit(lambda p, x: engine_forward(
+                EngineSpec(spec.config, p), x, pallas=pallas))
+
+        img = spec.config.img_size
+        self._img_shape = (img, img, 3)
+        self._batcher = threading.Thread(target=self._run, daemon=True)
+        self._batcher.start()
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one [H, W, 3] float32 image; resolves to logits [C]."""
+        if image.shape != self._img_shape:
+            raise ValueError(f"expected {self._img_shape}, got {image.shape}")
+        fut: Future = Future()
+        self._queue.put((image, fut, time.perf_counter()))
+        return fut
+
+    def infer(self, images: np.ndarray) -> np.ndarray:
+        """Synchronous batch API."""
+        futs = [self.submit(im) for im in images]
+        return np.stack([f.result() for f in futs])
+
+    def close(self):
+        self._stop.set()
+        self._batcher.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- batcher ------------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then fill up to batch_size or
+        max_wait_ms."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue_mod.Empty:
+            return None
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue_mod.Empty:
+                break
+        return items
+
+    def _run(self):
+        pending: list = []
+        while not self._stop.is_set():
+            items = self._collect()
+            if items is None:
+                while pending:
+                    self._resolve(*pending.pop(0))
+                continue
+            n = len(items)
+            batch = np.zeros((self.batch_size,) + self._img_shape, np.float32)
+            for i, (im, _, _) in enumerate(items):
+                batch[i] = im
+            x = jnp.asarray(batch)
+            if self._batch_sharding is not None:
+                x = jax.device_put(x, self._batch_sharding)
+            out = self._fwd(self._params, x)   # async dispatch
+            pending.append((out, items, n))
+            while len(pending) >= self.inflight:
+                self._resolve(*pending.pop(0))
+        while pending:
+            self._resolve(*pending.pop(0))
+
+    def _resolve(self, out, items, n):
+        logits = np.asarray(out)               # blocks until device done
+        done = time.perf_counter()
+        lats = [(done - t0) * 1e3 for (_, _, t0) in items]
+        for i, (_, fut, _) in enumerate(items):
+            fut.set_result(logits[i])
+        self.metrics.record(n, lats)

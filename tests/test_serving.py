@@ -1,0 +1,75 @@
+"""Serving loop tests: continuous batching correctness + multi-device mesh."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+
+def build_engine(rng):
+    from test_engine import build_calibrated
+
+    from ivit_tpu.engine import freeze_model
+
+    model, variables = build_calibrated(rng)
+    return freeze_model(model, variables)
+
+
+def test_serving_matches_direct(rng):
+    from ivit_tpu.engine.serving import ServingEngine
+    from ivit_tpu.engine.vit_int import engine_forward
+    import jax.numpy as jnp
+
+    spec = build_engine(rng)
+    images = rng.normal(size=(10, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(engine_forward(spec, jnp.asarray(images), pallas=False))
+    with ServingEngine(spec, batch_size=4, max_wait_ms=20,
+                       pallas=False) as srv:
+        got = srv.infer(images)
+        m = srv.metrics.summary()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert m["images"] == 10
+    assert m["batches"] >= 3        # 10 requests / batch 4 -> >= 3 batches
+    assert m["latency_ms_p50"] > 0
+
+
+def test_serving_single_request_padding(rng):
+    from ivit_tpu.engine.serving import ServingEngine
+
+    spec = build_engine(rng)
+    with ServingEngine(spec, batch_size=8, max_wait_ms=1,
+                       pallas=False) as srv:
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        out = srv.submit(img).result(timeout=120)
+    assert out.shape == (10,)
+    assert np.isfinite(out).all()
+
+
+def test_serving_rejects_bad_shape(rng):
+    from ivit_tpu.engine.serving import ServingEngine
+
+    spec = build_engine(rng)
+    with ServingEngine(spec, batch_size=2, pallas=False) as srv:
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((32, 32, 3), np.float32))
+
+
+def test_serving_multidevice_mesh(rng):
+    """Data-parallel serving over the 8-device CPU mesh."""
+    from ivit_tpu.engine.serving import ServingEngine
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.parallel import make_mesh
+    import jax.numpy as jnp
+
+    assert len(jax.devices()) == 8, jax.devices()
+    mesh = make_mesh(dp=8, tp=1)
+    spec = build_engine(rng)
+    images = rng.normal(size=(16, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(engine_forward(spec, jnp.asarray(images), pallas=False))
+    with ServingEngine(spec, batch_size=16, max_wait_ms=50, mesh=mesh,
+                       pallas=False) as srv:
+        got = srv.infer(images)
+    np.testing.assert_allclose(got, want, atol=1e-5)
