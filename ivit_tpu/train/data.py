@@ -25,6 +25,15 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def _native_preproc():
+    """The C++ eval-preprocess batch fn, or None if the lib isn't built."""
+    try:
+        from ..utils import native
+    except Exception:
+        return None
+    return native.preprocess_batch if native.available() else None
+
+
 class Dataset:
     """Minimal dataset protocol: len + get(i) -> (HWC uint8 image, label)."""
 
@@ -259,6 +268,7 @@ def data_loader(dataset: Dataset, batch_size: int, *, train: bool,
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
         imgs = np.empty((len(idxs), img_size, img_size, 3), np.float32)
         labels = np.empty((len(idxs),), np.int32)
+        raw, raw_slots = [], []
         for j, i in enumerate(idxs):
             img, lab = dataset.get(int(i))
             if train:
@@ -268,9 +278,17 @@ def data_loader(dataset: Dataset, batch_size: int, *, train: bool,
                 if img.shape[0] == img_size and img.shape[1] == img_size:
                     imgs[j] = ((img.astype(np.float32) / 255.0
                                 - IMAGENET_MEAN) / IMAGENET_STD)
+                elif _native_preproc() is not None:
+                    raw.append(np.ascontiguousarray(img, np.uint8))
+                    raw_slots.append(j)
                 else:
                     imgs[j] = eval_transform(img, img_size)
             labels[j] = lab
+        if raw:
+            # native C++ multi-threaded resize+crop+normalize fast path
+            batch = _native_preproc()(raw, out_size=img_size)
+            for k, j in enumerate(raw_slots):
+                imgs[j] = batch[k]
         return {"image": imgs, "label": labels}
 
     if num_threads <= 1:
