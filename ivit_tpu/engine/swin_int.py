@@ -1,0 +1,367 @@
+"""Integer-only Swin forward + freeze (windowed-attention engine).
+
+Extends the deployment engine to the Swin family (BASELINE config:
+"Swin-Tiny INT8 windowed attention, relative position bias, patch
+merging").  Same doctrine as ``vit_int.py``: int8 MXU GEMMs, f32 dyadic
+requant epilogues, integer nonlinearity cores, int8/int16 containers.
+
+Swin-specific freeze-time constants:
+* the quantized relative-position-bias addend — the reference adds the
+  (QuantAct-quantized) bias table through identity fusion
+  (swin_quant.py:142-149); the engine precomputes the whole dyadic-requanted
+  [nH, N, N] addend per block,
+* the shifted-window mask as integer offsets ``round(-100 / s_attn)``
+  (swin_quant.py:151-158): the fake-quant graph adds float -100 to exact
+  multiples of the scale, so the integer addend is exact,
+* PatchMerging slice/concat is pure integer data movement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.swin import (SwinTransformer, attention_mask,
+                           relative_position_index)
+from ..models.vit import BitWidths as _BitWidths
+from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
+                     _quant_w, _sym_scale, dyadic_multiplier,
+                     dyadic_requant_exact)
+from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _layernorm_int,
+                      _requant, _softmax_int)
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinEngineConfig(EngineConfig):
+    """Swin adds stage structure on top of the base engine config."""
+
+    depths: tuple = (2, 2, 6, 2)
+    stage_heads: tuple = (3, 6, 12, 24)
+    window_size: int = 7
+
+
+@dataclasses.dataclass
+class SwinEngineSpec:
+    config: SwinEngineConfig
+    params: Dict[str, Any]
+
+
+def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec:
+    """Calibrated Swin QAT variables -> integer engine spec."""
+    variables = jax.device_get(variables)
+    cfg = SwinEngineConfig(
+        img_size=model.img_size, patch_size=model.patch_size,
+        embed_dim=model.embed_dim, depth=sum(model.depths),
+        num_heads=model.num_heads[0], mlp_ratio=model.mlp_ratio,
+        num_classes=model.num_classes, bitwidths=_BitWidths(),
+        gelu_type=model.gelu_type, softmax_type=model.softmax_type,
+        layernorm_type=model.layernorm_type,
+        depths=tuple(model.depths), stage_heads=tuple(model.num_heads),
+        window_size=model.window_size)
+    P = variables["params"]
+    Q = variables["quant_stats"]
+    sm_base = cfg.base_type("softmax")
+
+    p: Dict[str, Any] = {}
+    s_input = _act_scale(Q, "qact_input", 8)
+    p["s_input"] = s_input
+
+    # patch embed (4x4 conv as GEMM) + patch-norm + qact
+    conv = P["patch_embed"]["proj"]
+    kernel = _np(conv["kernel"]).astype(np.float32)
+    kh, kw, cin, D = kernel.shape
+    wf = kernel.reshape(-1, D)
+    w_scale = _sym_scale(8, wf.min(axis=0), wf.max(axis=0))
+    w_int = _quant_w(wf, 8, w_scale[None, :]).astype(np.int8)
+    conv_out_scale = (w_scale.astype(np.float64)
+                      * np.float64(s_input)).astype(np.float32)
+    b_int = _quant_w(_np(conv["bias"]), 32, conv_out_scale).astype(np.int32)
+    s_bn = _act_scale(Q["patch_embed"], "qact_before_norm", 8)
+    pn_bias, pn_scale, pn_shift = _ln_site(
+        P["patch_embed"]["norm"], D, Q["patch_embed"].get("norm"))
+    s_patch = _act_scale(Q["patch_embed"], "qact", 8)
+    s0 = _act_scale(Q, "qact1", 16)
+    p["patch"] = {
+        "w": w_int, "b": b_int,
+        "m": dyadic_multiplier(conv_out_scale, s_bn),     # conv -> pre-norm
+        "pn_bias_int": pn_bias, "pn_shift": pn_shift,
+        "m_norm": dyadic_multiplier(pn_scale, s_patch),   # norm -> qact
+        "m_x0": dyadic_multiplier(s_patch, s0),           # qact1 (16-bit)
+    }
+
+    blocks: List[Dict[str, Any]] = []
+    s_in = s0
+    grid = cfg.img_size // cfg.patch_size
+    for i_layer, depth in enumerate(cfg.depths):
+        dim = int(cfg.embed_dim * 2 ** i_layer)
+        heads = cfg.stage_heads[i_layer]
+        res = grid // (2 ** i_layer)
+        ws = min(cfg.window_size, res)
+        n = ws * ws
+        for d in range(depth):
+            bq = Q[f"layers_{i_layer}_blocks_{d}"]
+            bp = P[f"layers_{i_layer}_blocks_{d}"]
+            blk: Dict[str, Any] = {"stage": i_layer, "index": d}
+
+            ln1_bias, ln1_scale, ln1_shift = _ln_site(bp["norm1"], dim,
+                                                      bq.get("norm1"))
+            s_a1 = _act_scale(bq, "qact1", 8)
+            blk["ln1_bias_int"] = ln1_bias
+            blk["ln1_shift"] = ln1_shift
+            blk["m_ln1"] = dyadic_multiplier(ln1_scale, s_a1)
+
+            aq, ap = bq["attn"], bp["attn"]
+            qkv_w, qkv_b, qkv_scale = _linear(ap["qkv"], s_a1, "qkv")
+            s_q = _act_scale(aq, "qact1", 8)
+            blk["qkv_w"], blk["qkv_b"] = qkv_w, qkv_b
+            blk["m_qkv"] = dyadic_multiplier(qkv_scale, s_q)
+
+            head_dim = dim // heads
+            s_attn1 = _act_scale(aq, "qact_attn1", 8)
+            s_scores = (np.float64(s_q) ** 2) * np.float64(head_dim ** -0.5)
+            blk["m_attn"] = dyadic_multiplier(s_scores, s_attn1)
+
+            # relative position bias: quantize table, requant onto s_attn2
+            s_table = _act_scale(aq, "qact_table", 8)
+            table = _np(ap["relative_position_bias_table"]).astype(np.float32)
+            table_int = _quant_w(table, 8, s_table)        # [(2w-1)^2, nH]
+            s_attn2 = _act_scale(aq, "qact2", 8)
+            rel_idx = relative_position_index(ws)
+            bias_int = table_int[rel_idx.reshape(-1)].reshape(n, n, heads)
+            bias_int = bias_int.transpose(2, 0, 1)          # [nH, N, N]
+            blk["rel_bias_addend"] = dyadic_requant_exact(
+                bias_int, s_table, s_attn2).astype(np.float32)
+            blk["m_attn2"] = dyadic_multiplier(s_attn1, s_attn2)
+            blk["s_attn"] = np.float32(s_attn2)
+
+            shift = 0 if d % 2 == 0 else ws // 2
+            if res <= cfg.window_size:
+                shift = 0
+            blk["shift"] = shift
+            if shift > 0:
+                mask = attention_mask((res, res), ws, shift)
+                blk["mask_int"] = np.round(
+                    mask / np.float32(s_attn2)).astype(np.float32)
+
+            if sm_base == "ibert":
+                blk["s_exp_act"] = _act_scale(aq["int_softmax"], "act", 16)
+            elif sm_base == "ppoly":
+                smq = aq["int_softmax"]
+                blk["sm_bounds"] = _np(smq["bounds"]).astype(np.int32)
+                blk["sm_coeffs"] = _np(smq["coeffs"]).astype(np.float32)
+            s_sm = (np.float32(2.0 / 2**8) if sm_base != "ivit"
+                    else np.float32(1.0 / 2**7))
+
+            s_a3 = _act_scale(aq, "qact3", 8)
+            blk["m_av"] = dyadic_multiplier(
+                np.float64(s_sm) * np.float64(s_q), s_a3)
+            proj_w, proj_b, proj_scale = _linear(ap["proj"], s_a3, "proj")
+            s_a4 = _act_scale(aq, "qact4", 16)
+            blk["proj_w"], blk["proj_b"] = proj_w, proj_b
+            blk["m_proj"] = dyadic_multiplier(proj_scale, s_a4)
+
+            s_res1 = _act_scale(bq, "qact2", 16)
+            blk["m_res1_x"] = dyadic_multiplier(s_a4, s_res1)
+            blk["m_res1_id"] = dyadic_multiplier(s_in, s_res1)
+
+            ln2_bias, ln2_scale, ln2_shift = _ln_site(bp["norm2"], dim,
+                                                      bq.get("norm2"))
+            s_m1 = _act_scale(bq, "qact3", 8)
+            blk["ln2_bias_int"] = ln2_bias
+            blk["ln2_shift"] = ln2_shift
+            blk["m_ln2"] = dyadic_multiplier(ln2_scale, s_m1)
+
+            mp, mq = bp["mlp"], bq["mlp"]
+            fc1_w, fc1_b, fc1_scale = _linear(mp["fc1"], s_m1, "fc1")
+            s_g = _act_scale(mq, "qact_gelu", 8)
+            blk["fc1_w"], blk["fc1_b"] = fc1_w, fc1_b
+            blk["m_fc1"] = dyadic_multiplier(fc1_scale, s_g)
+            blk["s_gelu"] = np.float32(s_g)
+            if cfg.base_type("gelu") == "ppoly":
+                gq = mq["act"]
+                blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
+                blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
+            if cfg.base_type("gelu") == "ivit":
+                s_gelu_out = np.float64(s_g) / 2.0**7
+            else:
+                from ..ops.ibert import GELU_A, GELU_K, GELU_N
+                so = (np.float64(s_g) / GELU_K) ** 2 * GELU_A * 2.0**GELU_N
+                s_gelu_out = np.float64(s_g) * so / 2
+            s_m2 = _act_scale(mq, "qact1", 8)
+            blk["m_gelu"] = dyadic_multiplier(s_gelu_out, s_m2)
+            fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
+            s_mlp = _act_scale(mq, "qact2", 8)
+            blk["fc2_w"], blk["fc2_b"] = fc2_w, fc2_b
+            blk["m_fc2"] = dyadic_multiplier(fc2_scale, s_mlp)
+
+            s_out = _act_scale(bq, "qact4", 16)
+            blk["m_res2_x"] = dyadic_multiplier(s_mlp, s_out)
+            blk["m_res2_id"] = dyadic_multiplier(s_res1, s_out)
+            blocks.append(blk)
+            s_in = s_out
+
+        if i_layer < len(cfg.depths) - 1:
+            dq = Q[f"layers_{i_layer}_downsample"]
+            dp = P[f"layers_{i_layer}_downsample"]
+            mg: Dict[str, Any] = {"stage": i_layer}
+            nb, nscale, nshift = _ln_site(dp["norm"], 4 * dim,
+                                          dq.get("norm"))
+            s_n = _act_scale(dq, "qact1", 8)
+            mg["norm_bias_int"] = nb
+            mg["norm_shift"] = nshift
+            mg["m_norm"] = dyadic_multiplier(nscale, s_n)
+            red_w, red_b, red_scale = _linear(dp["reduction"], s_n, "red")
+            s_r = _act_scale(dq, "qact2", 8)
+            mg["red_w"] = red_w
+            mg["m_red"] = dyadic_multiplier(red_scale, s_r)
+            blocks.append({"merge": mg})
+            s_in = s_r
+
+    p["blocks"] = blocks
+
+    lnf_bias, lnf_scale, lnf_shift = _ln_site(
+        P["norm"], int(cfg.embed_dim * 2 ** (len(cfg.depths) - 1)),
+        Q.get("norm"))
+    s_cls = _act_scale(Q, "qact2", 8)
+    p["lnf_bias_int"] = lnf_bias
+    p["lnf_shift"] = lnf_shift
+    p["m_lnf"] = dyadic_multiplier(lnf_scale, s_cls)
+    s_pool = _act_scale(Q, "qact3", 8)
+    p["m_pool"] = dyadic_multiplier(s_cls, s_pool)
+    head_w, head_b, head_scale = _linear(P["head"], s_pool, "head")
+    p["head_w"], p["head_b"] = head_w, head_b
+    p["head_scale"] = head_scale
+
+    from .freeze import _to_device
+    return SwinEngineSpec(config=cfg, params=_to_device(p))
+
+
+def _window_partition_i(x, ws):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse_i(wins, ws, h, w):
+    b = wins.shape[0] // (h * w // ws // ws)
+    x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def swin_engine_forward(spec: SwinEngineSpec, images):
+    """images f32 NHWC -> float logits; all integer inner loop."""
+    cfg = spec.config
+    p = spec.params
+    B = images.shape[0]
+    ps = cfg.patch_size
+    grid = cfg.img_size // ps
+
+    x = jnp.clip(jnp.round(images / p["s_input"]), -128, 127).astype(jnp.int8)
+    x = x.reshape(B, grid, ps, grid, ps, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, grid * grid, ps * ps * 3)
+    acc = _dot_i8(x, p["patch"]["w"]) + p["patch"]["b"]
+    x = _requant(acc, p["patch"]["m"], 8)
+    # patch norm (ivit/ibert core) then qact, then the 16-bit stage input
+    y = _layernorm_int(cfg, x, p["patch"]["pn_bias_int"],
+                       p["patch"]["pn_shift"])
+    x = _requant(y, p["patch"]["m_norm"], 8)
+    x = jnp.clip(jnp.round(_f32(x) * p["patch"]["m_x0"]),
+                 -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
+
+    res = grid
+    dim = cfg.embed_dim
+    stage = 0
+    for blk in p["blocks"]:
+        if "merge" in blk:
+            mg = blk["merge"]
+            h = w = res
+            xm = x.reshape(B, h, w, dim)
+            xm = jnp.concatenate([xm[:, 0::2, 0::2], xm[:, 1::2, 0::2],
+                                  xm[:, 0::2, 1::2], xm[:, 1::2, 1::2]],
+                                 axis=-1)
+            xm = xm.reshape(B, -1, 4 * dim)
+            y = _layernorm_int(cfg, xm, mg["norm_bias_int"],
+                               mg["norm_shift"])
+            y = _requant(y, mg["m_norm"], 8)
+            acc = _dot_i8(y, mg["red_w"])
+            x = _requant(acc, mg["m_red"], 8)
+            res //= 2
+            dim *= 2
+            stage += 1
+            continue
+
+        heads = cfg.stage_heads[stage]
+        head_dim = dim // heads
+        ws = min(cfg.window_size, res)
+        n = ws * ws
+        shift = int(blk["shift"])
+
+        y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
+        y = _requant(y, blk["m_ln1"], 8)
+        yw = y.reshape(B, res, res, dim)
+        if shift > 0:
+            yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
+        yw = _window_partition_i(yw, ws)            # [B*nW, n, dim] i8
+
+        acc = _dot_i8(yw, blk["qkv_w"]) + blk["qkv_b"]
+        q8 = _requant(acc, blk["m_qkv"], 8)          # [B*nW, n, 3C]
+        bw_ = q8.shape[0]
+        qkv = q8.reshape(bw_, n, 3, heads, head_dim)
+        q_, k_, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jax.lax.dot_general(
+            q_, k_, (((3,), (3,)), ((0, 2), (0, 2))),
+            preferred_element_type=jnp.int32)        # [B*nW, nH, n, n]
+        scores = _requant(scores, blk["m_attn"], 8)
+        # + quantized relative position bias (identity-fused requant)
+        attn = jnp.round(_f32(scores) * blk["m_attn2"]) \
+            + blk["rel_bias_addend"][None]
+        attn = jnp.clip(attn, -128, 127)
+        if shift > 0:
+            nw = (res // ws) ** 2
+            attn = attn.reshape(B, nw, heads, n, n) \
+                + blk["mask_int"][None, :, None]
+            attn = attn.reshape(-1, heads, n, n)
+        probs = _softmax_int(cfg, blk, attn.astype(jnp.int32), pallas=False)
+        ctx = jax.lax.dot_general(
+            probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.int32)        # [B*nW, nH, n, hd]
+        ctx = _requant(ctx, blk["m_av"], 8)
+        proj_w3 = blk["proj_w"].reshape(heads, head_dim, dim)
+        acc = jax.lax.dot_general(
+            ctx, proj_w3, (((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32) + blk["proj_b"]
+        yo = _requant(acc, blk["m_proj"], 16)        # [B*nW, n, dim]
+
+        yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
+        if shift > 0:
+            yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
+        yo = yo.reshape(B, res * res, dim)
+
+        x = jnp.clip(jnp.round(_f32(yo) * blk["m_res1_x"])
+                     + jnp.round(_f32(x) * blk["m_res1_id"]),
+                     -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
+
+        y = _layernorm_int(cfg, x, blk["ln2_bias_int"], blk["ln2_shift"])
+        y = _requant(y, blk["m_ln2"], 8)
+        acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
+        y = _requant(acc, blk["m_fc1"], 8)
+        y = _gelu_int(cfg, blk, _f32(y))
+        y = _requant(y, blk["m_gelu"], 8)
+        acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
+        y = _requant(acc, blk["m_fc2"], 8)
+
+        x = jnp.clip(jnp.round(_f32(y) * blk["m_res2_x"])
+                     + jnp.round(_f32(x) * blk["m_res2_id"]),
+                     -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
+
+    y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
+    y = _requant(y, p["m_lnf"], 8)
+    y = jnp.round(jnp.mean(_f32(y), axis=1))
+    y = _requant(y, p["m_pool"], 8)
+    acc = _dot_i8(y, p["head_w"]) + p["head_b"]
+    return acc.astype(jnp.float32) * p["head_scale"]

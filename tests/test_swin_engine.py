@@ -1,0 +1,54 @@
+"""Swin integer-engine parity vs the frozen QAT sim."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivit_tpu.engine.swin_int import freeze_swin_model, swin_engine_forward
+from ivit_tpu.models.swin import SwinTransformer
+
+
+def build_swin(rng, **kw):
+    kw.setdefault("img_size", 56)
+    kw.setdefault("patch_size", 4)
+    kw.setdefault("embed_dim", 32)
+    kw.setdefault("depths", (2, 2))
+    kw.setdefault("num_heads", (2, 4))
+    kw.setdefault("window_size", 7)
+    kw.setdefault("num_classes", 10)
+    kw.setdefault("drop_path_rate", 0.0)
+    model = SwinTransformer(**kw)
+    x0 = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x0, running_stat=True)
+    qs = variables["quant_stats"]
+    for _ in range(3):
+        xb = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+        _, st = model.apply({"params": variables["params"],
+                             "quant_stats": qs}, xb, running_stat=True,
+                            mutable=["quant_stats"])
+        qs = st["quant_stats"]
+    return model, {"params": variables["params"], "quant_stats": qs}
+
+
+@pytest.mark.parametrize("fam", ["ivit", "ibert"])
+def test_swin_engine_matches_sim(rng, fam):
+    model, variables = build_swin(rng, gelu_type=fam, softmax_type=fam,
+                                  layernorm_type=fam)
+    spec = freeze_swin_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    sim = np.asarray(model.apply(variables, x, running_stat=False))
+    eng = np.asarray(swin_engine_forward(spec, x))
+    scale = np.abs(sim).max()
+    err = np.abs(eng - sim).max()
+    assert err < 1e-5 * scale + 1e-6, (err, scale)
+    assert (eng.argmax(-1) == sim.argmax(-1)).all()
+
+
+def test_swin_engine_weights_int8(rng):
+    model, variables = build_swin(rng)
+    spec = freeze_swin_model(model, variables)
+    blk = [b for b in spec.params["blocks"] if "merge" not in b][0]
+    assert blk["qkv_w"].dtype == jnp.int8
+    mg = [b for b in spec.params["blocks"] if "merge" in b][0]["merge"]
+    assert mg["red_w"].dtype == jnp.int8
