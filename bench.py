@@ -27,9 +27,9 @@ def main():
     BATCH = 256
     rng = np.random.default_rng(0)
 
-    # --- int8 engine ---
-    model = str2model(MODEL)(gelu_type="ivit", softmax_type="ivit",
-                             layernorm_type="ivit")
+    # --- int8 engine (BASELINE config matrix: DeiT-S uses ibert) ---
+    model = str2model(MODEL)(gelu_type="ibert", softmax_type="ibert",
+                             layernorm_type="ibert")
     x_cal = jnp.asarray(rng.normal(size=(16, 224, 224, 3)).astype(np.float32))
     variables = jax.jit(
         lambda a: model.init(jax.random.PRNGKey(0), a, running_stat=True))(x_cal)

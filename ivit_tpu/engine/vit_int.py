@@ -194,8 +194,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     # fused block kernels cover the ivit softmax/gelu families with
     # ivit/ibert LayerNorm; other families run the unfused per-op path
     use_blocks = (_use_pallas(pallas)
-                  and cfg.base_type("softmax") == "ivit"
-                  and cfg.base_type("gelu") == "ivit"
+                  and cfg.base_type("softmax") in ("ivit", "ibert")
+                  and cfg.base_type("gelu") in ("ivit", "ibert")
                   and cfg.base_type("ln") in ("ivit", "ibert"))
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
@@ -223,6 +223,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
 
     if use_blocks:
         ln_base = cfg.base_type("ln")
+        sm_base = cfg.base_type("softmax")
+        gelu_base = cfg.base_type("gelu")
         if n_pad != N:
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         for blk in p["blocks"]:
@@ -234,7 +236,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 proj_w=blk["proj_w"], proj_b=blk["proj_b"],
                 m_proj=blk["m_proj"], m_res_x=blk["m_res1_x"],
                 m_res_id=blk["m_res1_id"], num_heads=H, n_valid=N,
-                ln_base=ln_base, sm_bit=bw.softmax,
+                ln_base=ln_base, sm_base=sm_base,
+                s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
                 attn_bits=8, out_bits=bw.norm2_in,
                 out_dtype=_container(bw.norm2_in))
             xf = x.reshape(B * n_pad, C)
@@ -245,7 +248,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
                 fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"], m_fc2=blk["m_fc2"],
                 m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
-                ln_base=ln_base, out_bits=bw.att_block_out,
+                ln_base=ln_base, gelu_base=gelu_base,
+                out_bits=bw.att_block_out,
                 out_dtype=_container(bw.att_block_out))
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])

@@ -25,9 +25,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp
 
-from .nonlinear import _int_exp_shift, _pow2
+from .nonlinear import _floor_div, _int_exp_shift, _pow2
 
 INT32_MAX = 2.0**31 - 1
+
+# I-BERT polynomial constants (ops/ibert.py)
+_IB_EXP_X0 = -0.6931
+_IB_EXP_N = 30
+_IB_EXP_A = 0.35815147
+_IB_EXP_B = 0.96963238 / _IB_EXP_A
+_IB_EXP_C = 1.0 / _IB_EXP_A
+_IB_GELU_K = 1.4142
+_IB_GELU_N = 6
+_IB_GELU_A = -0.2888
+_IB_GELU_B = -1.769
+_IB_GELU_C = 1.0 / _IB_GELU_A
+
+
+def _ibert_int_exp(x_int, s):
+    """I-BERT integer exp core in-kernel (ops/ibert.py int_exp)."""
+    x0 = jnp.floor(_IB_EXP_X0 / s)
+    x_int = jnp.maximum(x_int, _IB_EXP_N * x0)
+    q = _floor_div(x_int, x0, 1.0 / x0)
+    r = x_int - x0 * q
+    b_int = jnp.floor(_IB_EXP_B / s)
+    c_int = jnp.floor(_IB_EXP_C / (s * s))
+    z = r * (r + b_int) + c_int
+    return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
+
+
+def _ibert_gelu(x, s):
+    """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
+    se = s / _IB_GELU_K
+    b_int = jnp.floor(_IB_GELU_B / se)
+    c_int = jnp.floor(_IB_GELU_C / (se * se))
+    sign = jnp.sign(x)
+    a = jnp.minimum(jnp.abs(x), -b_int)
+    y = sign * ((a + b_int) * (a + b_int) + c_int)
+    y = jnp.floor(y * (2.0 ** -_IB_GELU_N))
+    sig_scale = se * se * _IB_GELU_A * (2.0 ** _IB_GELU_N)
+    shift = jnp.floor(1.0 / sig_scale)
+    return x * (y + shift)
 
 
 def _newton_sqrt(var, iters=10, k0=2.0**16):
@@ -77,7 +115,7 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23):
 
 def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, out_bits):
+                ln_base, gelu_base, out_bits):
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
     m_gelu = sc_ref[1]
@@ -96,7 +134,10 @@ def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     acc = acc + b1_ref[...]
     h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
 
-    g = _shift_gelu(h, s_sig)
+    if gelu_base == "ivit":
+        g = _shift_gelu(h, s_sig)
+    else:
+        g = _ibert_gelu(h, s_sig)   # s_sig carries the raw s_gelu for ibert
     g = _requant(g, m_gelu, 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -112,7 +153,8 @@ def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
 
 def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
-                ln_base="ivit", out_bits=8, out_dtype=jnp.int8,
+                ln_base="ivit", gelu_base="ivit", out_bits=8,
+                out_dtype=jnp.int8,
                 tile_rows: int = 512, interpret: bool = False):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
@@ -123,8 +165,11 @@ def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     hd = fc1_w.shape[1]
     tile = min(tile_rows, r)
     grid = (pl.cdiv(r, tile),)
+    gelu_s = (jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702
+              if gelu_base == "ivit"
+              else jnp.reshape(s_gelu, ()).astype(jnp.float32))
     scalars = jnp.stack([
-        jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702,
+        gelu_s,
         jnp.reshape(m_gelu, ()).astype(jnp.float32),
         jnp.reshape(m_res_x, ()).astype(jnp.float32),
         jnp.reshape(m_res_id, ()).astype(jnp.float32),
@@ -132,7 +177,8 @@ def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     ])
 
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, ln_base=ln_base, out_bits=out_bits),
+        functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
+                          out_bits=out_bits),
         out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
         grid=grid,
         in_specs=[
@@ -179,9 +225,28 @@ def _shiftmax(x, s, output_bit, n_valid):
     return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
 
 
+def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
+    """In-kernel I-BERT softmax with the internal 16-bit exp requant."""
+    mask = None
+    if n_valid != x.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        mask = col < n_valid
+        x = jnp.where(mask, x, -(2.0**23))
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    exp_int = _ibert_int_exp(x - x_max, s)
+    if mask is not None:
+        exp_int = jnp.where(mask, exp_int, 0.0)
+    exp16 = jnp.clip(jnp.round(exp_int / s_exp_act),
+                     -(2.0**15), 2.0**15 - 1)
+    exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
+    factor = jnp.floor(2.0**32 / exp_sum)
+    return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
+
+
 def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
                  wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref, ctx_ref, *,
-                 ln_base, num_heads, n_valid, sm_bit, out_bits, attn_bits):
+                 ln_base, sm_base, num_heads, n_valid, sm_bit, out_bits,
+                 attn_bits):
     t, np_, c = x_ref.shape
     dh = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
@@ -191,6 +256,7 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
     m_res_x = sc_ref[3]
     m_res_id = sc_ref[4]
     pw_shift = sc_ref[5]
+    s_exp_act = sc_ref[6]
 
     if ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
@@ -215,7 +281,12 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
                 preferred_element_type=jnp.int32)           # [Np, Np]
             scores = jnp.clip(jnp.round(scores.astype(jnp.float32) * m_attn),
                               -lim_a, lim_a - 1)
-            probs = _shiftmax(scores, s_attn, sm_bit, n_valid).astype(jnp.int8)
+            if sm_base == "ivit":
+                probs = _shiftmax(scores, s_attn, sm_bit,
+                                  n_valid).astype(jnp.int8)
+            else:
+                probs = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit,
+                                       n_valid).astype(jnp.int8)
             ctx_h = jax.lax.dot_general(
                 probs, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)           # [Np, Dh]
@@ -237,7 +308,8 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
 def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  m_attn, s_attn, m_av, proj_w, proj_b, m_proj,
                  m_res_x, m_res_id, num_heads, n_valid,
-                 ln_base="ivit", sm_bit=8, attn_bits=8, out_bits=8,
+                 ln_base="ivit", sm_base="ivit", s_exp_act=None,
+                 sm_bit=8, attn_bits=8, out_bits=8,
                  out_dtype=jnp.int8, img_tile: int = 2,
                  interpret: bool = False):
     """Fused attention half-block on the padded token stream.
@@ -257,9 +329,12 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         jnp.reshape(m_res_x, ()).astype(jnp.float32),
         jnp.reshape(m_res_id, ()).astype(jnp.float32),
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
+        (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
+         if s_exp_act is not None else jnp.float32(1.0)),
     ])
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, ln_base=ln_base, num_heads=num_heads,
+        functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
+                          num_heads=num_heads,
                           n_valid=n_valid, sm_bit=sm_bit, out_bits=out_bits,
                           attn_bits=attn_bits),
         out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),

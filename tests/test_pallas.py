@@ -85,8 +85,10 @@ def test_engine_block_kernels_match_unfused(rng):
     from ivit_tpu.engine import freeze_model
     from ivit_tpu.engine.vit_int import engine_forward
 
-    for ln in ("ivit", "ibert"):
-        model, variables = build_calibrated(rng, gelu="ivit", softmax="ivit",
+    for gelu, softmax, ln in (("ivit", "ivit", "ivit"),
+                              ("ivit", "ivit", "ibert"),
+                              ("ibert", "ibert", "ivit")):
+        model, variables = build_calibrated(rng, gelu=gelu, softmax=softmax,
                                             ln=ln)
         spec = freeze_model(model, variables)
         x = jnp.asarray(rng.normal(size=(3, 64, 64, 3)).astype(np.float32))
@@ -96,4 +98,5 @@ def test_engine_block_kernels_match_unfused(rng):
             fused = np.asarray(engine_forward(spec, x, pallas=True))
         finally:
             ppkg.FORCE_INTERPRET = False
-        np.testing.assert_allclose(fused, base, atol=1e-6, err_msg=ln)
+        np.testing.assert_allclose(fused, base, atol=1e-6,
+                                   err_msg=f"{gelu}/{softmax}/{ln}")
