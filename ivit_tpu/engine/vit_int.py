@@ -196,7 +196,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     use_blocks = (_use_pallas(pallas)
                   and cfg.base_type("softmax") in ("ivit", "ibert")
                   and cfg.base_type("gelu") in ("ivit", "ibert")
-                  and cfg.base_type("ln") in ("ivit", "ibert"))
+                  and cfg.base_type("ln") in ("ivit", "ibert")
+                  and bw.softmax <= 8)   # kernels carry int8 probs
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
     # input quantization (SymmetricQuantFunction on the raw image)
@@ -272,10 +273,12 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
             preferred_element_type=jnp.int32)                    # [B,H,N,N]
         scores = _requant(scores, blk["m_attn"], 8)
 
-        probs = _softmax_int(cfg, blk, scores, pallas=pallas)    # i8 >=0
-        # probs [B,H,Nq,Nk] x v [B,Nk,H,Dh], batched over (B, H):
+        probs = _softmax_int(cfg, blk, scores, pallas=pallas)    # intN >=0
+        # probs [B,H,Nq,Nk] x v [B,Nk,H,Dh], batched over (B, H).
+        # 16-bit softmax configs keep int16 probs (the reference's INT16
+        # runs); the MXU takes mixed int16 x int8 via int32 accumulation.
         ctx = jax.lax.dot_general(
-            probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
+            probs, v_, (((3,), (1,)), ((0, 1), (0, 2))),
             preferred_element_type=jnp.int32)                    # [B,H,Nq,Dh]
         y = _requant(ctx, blk["m_av"], 8)                        # i8 [B,H,N,Dh]
         # proj contracts (H, Dh) jointly -> no transpose back

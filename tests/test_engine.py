@@ -86,3 +86,35 @@ def test_engine_activation_envelope(rng):
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
     y = np.asarray(eng(x))
     assert np.isfinite(y).all()
+
+
+def test_engine_16bit_softmax_config(rng):
+    """The reference's INT16 run config (softmax_bw=16, norm2_in_bw=16)."""
+    from ivit_tpu.models import BitWidths, VisionTransformer
+
+    model = VisionTransformer(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        num_classes=10, gelu_type="ivit", softmax_type="ivit",
+        layernorm_type="ivit",
+        bitwidths=BitWidths.from_spec("8,8,8,8,16,8,16,8"))
+    x0 = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x0, running_stat=True)
+    qs = variables["quant_stats"]
+    for _ in range(2):
+        xb = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+        _, st = model.apply({"params": variables["params"],
+                             "quant_stats": qs}, xb, running_stat=True,
+                            mutable=["quant_stats"])
+        qs = st["quant_stats"]
+    variables = {"params": variables["params"], "quant_stats": qs}
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    sim = np.asarray(model.apply(variables, x, running_stat=False))
+    spec = freeze_model(model, variables)
+    eng = np.asarray(Engine(spec, pallas=False)(x))
+    assert spec.params["blocks"][0]["s_attn"].dtype == jnp.float32
+    scale = np.abs(sim).max()
+    assert np.abs(eng - sim).max() < 1e-5 * scale + 1e-6
+    # probs container must actually be int16 in this config
+    from ivit_tpu.engine.vit_int import _container
+    assert _container(16) == jnp.int16
