@@ -38,11 +38,16 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class SwinEngineConfig(EngineConfig):
-    """Swin adds stage structure on top of the base engine config."""
+    """Swin adds stage structure on top of the base engine config.
+
+    ``layout`` carries the static per-entry structure of ``params["blocks"]``:
+    ``("block", stage, shift)`` or ``("merge", stage)`` — kept out of the
+    traced parameter tree so the jitted forward sees Python ints."""
 
     depths: tuple = (2, 2, 6, 2)
     stage_heads: tuple = (3, 6, 12, 24)
     window_size: int = 7
+    layout: tuple = ()
 
 
 @dataclasses.dataclass
@@ -66,6 +71,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     P = variables["params"]
     Q = variables["quant_stats"]
     sm_base = cfg.base_type("softmax")
+    layout: list = []
 
     p: Dict[str, Any] = {}
     s_input = _act_scale(Q, "qact_input", 8)
@@ -106,7 +112,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
         for d in range(depth):
             bq = Q[f"layers_{i_layer}_blocks_{d}"]
             bp = P[f"layers_{i_layer}_blocks_{d}"]
-            blk: Dict[str, Any] = {"stage": i_layer, "index": d}
+            blk: Dict[str, Any] = {}
 
             ln1_bias, ln1_scale, ln1_shift = _ln_site(bp["norm1"], dim,
                                                       bq.get("norm1"))
@@ -142,7 +148,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             shift = 0 if d % 2 == 0 else ws // 2
             if res <= cfg.window_size:
                 shift = 0
-            blk["shift"] = shift
+            layout.append(("block", i_layer, shift))
             if shift > 0:
                 mask = attention_mask((res, res), ws, shift)
                 blk["mask_int"] = np.round(
@@ -208,7 +214,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
         if i_layer < len(cfg.depths) - 1:
             dq = Q[f"layers_{i_layer}_downsample"]
             dp = P[f"layers_{i_layer}_downsample"]
-            mg: Dict[str, Any] = {"stage": i_layer}
+            mg: Dict[str, Any] = {}
+            layout.append(("merge", i_layer, 0))
             nb, nscale, nshift = _ln_site(dp["norm"], 4 * dim,
                                           dq.get("norm"))
             s_n = _act_scale(dq, "qact1", 8)
@@ -238,6 +245,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     p["head_scale"] = head_scale
 
     from .freeze import _to_device
+    cfg = dataclasses.replace(cfg, layout=tuple(layout))
     return SwinEngineSpec(config=cfg, params=_to_device(p))
 
 
@@ -275,9 +283,8 @@ def swin_engine_forward(spec: SwinEngineSpec, images):
 
     res = grid
     dim = cfg.embed_dim
-    stage = 0
-    for blk in p["blocks"]:
-        if "merge" in blk:
+    for (kind, stage, shift), blk in zip(cfg.layout, p["blocks"]):
+        if kind == "merge":
             mg = blk["merge"]
             h = w = res
             xm = x.reshape(B, h, w, dim)
@@ -292,14 +299,12 @@ def swin_engine_forward(spec: SwinEngineSpec, images):
             x = _requant(acc, mg["m_red"], 8)
             res //= 2
             dim *= 2
-            stage += 1
             continue
 
         heads = cfg.stage_heads[stage]
         head_dim = dim // heads
         ws = min(cfg.window_size, res)
         n = ws * ws
-        shift = int(blk["shift"])
 
         y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
         y = _requant(y, blk["m_ln1"], 8)

@@ -73,8 +73,11 @@ def attention_mask(resolution, window_size: int, shift_size: int):
                    slice(-shift_size, None)):
             img_mask[:, hs, ws, :] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img_mask), window_size))
-    mw = mw.reshape(-1, window_size * window_size)
+    # pure numpy window partition (this runs at trace time)
+    mw = img_mask.reshape(1, h // window_size, window_size,
+                          w // window_size, window_size, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window_size * window_size)
     attn_mask = mw[:, None, :] - mw[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
