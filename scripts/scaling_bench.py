@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Multi-device scaling-efficiency benchmark (BASELINE target: >=0.85 from
+1 chip to N hosts on DeiT-S INT8 serving).
+
+Measures engine img/s at data-parallel widths 1..N over the available
+devices and reports efficiency vs linear scaling.  On the hosted single-TPU
+environment this exercises the sharded program end-to-end on a virtual CPU
+mesh (`JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`);
+on a real pod slice it measures actual ICI scaling.  Multi-host: launch one
+process per host with ``jax.distributed.initialize()`` (see --distributed).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="deit_small_patch16_224")
+    p.add_argument("--family", default="ibert")
+    p.add_argument("--per-device-batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--widths", type=int, nargs="+", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--no-pallas", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from ivit_tpu.engine import EngineSpec, freeze_model
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.models import str2model
+    from ivit_tpu.parallel import batch_sharding, make_mesh, replicated
+    from ivit_tpu.utils.benchmarking import time_dispatch
+
+    ndev = len(jax.devices())
+    widths = args.widths or [w for w in (1, 2, 4, 8, 16, 32) if w <= ndev]
+    pallas = False if args.no_pallas else None
+
+    model = str2model(args.model)(
+        gelu_type=args.family, softmax_type=args.family,
+        layernorm_type=args.family)
+    rng = np.random.default_rng(0)
+    x_cal = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
+    variables = jax.jit(lambda a: model.init(
+        jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
+    _, st = jax.jit(lambda v, a: model.apply(
+        v, a, running_stat=True, mutable=["quant_stats"]))(variables, x_cal)
+    spec = freeze_model(model, {"params": variables["params"],
+                                "quant_stats": st["quant_stats"]})
+
+    results = []
+    base_ips = None
+    for w in widths:
+        mesh = make_mesh(dp=w, tp=1, devices=jax.devices()[:w])
+        bsz = args.per_device_batch * w
+        x = jnp.asarray(rng.normal(
+            size=(bsz, 224, 224, 3)).astype(np.float32))
+        x = jax.device_put(x, batch_sharding(mesh))
+        params = jax.device_put(spec.params, replicated(mesh))
+        fwd = jax.jit(
+            lambda pp, a: engine_forward(EngineSpec(spec.config, pp), a,
+                                         pallas=pallas),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh))
+        t = time_dispatch(lambda a: fwd(params, a), x, iters=args.iters)
+        ips = bsz / t
+        if base_ips is None:
+            base_ips = ips
+        eff = ips / (base_ips * w)
+        results.append({"devices": w, "batch": bsz,
+                        "images_per_sec": round(ips, 1),
+                        "scaling_efficiency": round(eff, 3)})
+        print(f"dp={w:3d}: {ips:10.1f} img/s  efficiency {eff:.3f}",
+              file=sys.stderr)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,60 @@ def test_parameterized_layer_types(rng):
     logits, _ = model.apply(variables, x, running_stat=True,
                             mutable=["quant_stats"])
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantact_percentile_mode(rng):
+    """Percentile-based range calibration (ref quant_modules.py:319-344)."""
+    import jax
+
+    from ivit_tpu.models.layers import QuantAct
+
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    x = x.at[0, 0].set(100.0)  # outlier
+    mod_minmax = QuantAct(8)
+    mod_pct = QuantAct(8, percentile=99.0)
+    v1 = mod_minmax.init(jax.random.PRNGKey(0), x, running_stat=True)
+    v2 = mod_pct.init(jax.random.PRNGKey(0), x, running_stat=True)
+    (_, s1), st1 = mod_minmax.apply(v1, x, running_stat=True,
+                                    mutable=["quant_stats"])
+    (_, s2), st2 = mod_pct.apply(v2, x, running_stat=True,
+                                 mutable=["quant_stats"])
+    # percentile range must ignore the outlier -> much smaller scale
+    assert float(s2[0]) < float(s1[0]) / 5
+
+
+def test_quantact_per_channel(rng):
+    import jax
+
+    from ivit_tpu.models.layers import QuantAct
+
+    c = 8
+    x = rng.normal(size=(16, 10, c)).astype(np.float32)
+    x[..., 0] *= 100.0  # one hot channel
+    x = jnp.asarray(x)
+    mod = QuantAct(8, per_channel=True, channel_len=c)
+    v = mod.init(jax.random.PRNGKey(0), x, running_stat=True)
+    (_, s), st = mod.apply(v, x, running_stat=True, mutable=["quant_stats"])
+    s = np.asarray(s)
+    assert s.shape == (c,)
+    assert s[0] > 10 * s[1:].max()
+
+
+def test_quantact_momentum_minus_one(rng):
+    """momentum -1 selects running min/max instead of EMA."""
+    import jax
+
+    from ivit_tpu.models.layers import QuantAct
+
+    mod = QuantAct(8, act_range_momentum=-1)
+    x1 = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    x2 = x1 * 0.01
+    v = mod.init(jax.random.PRNGKey(0), x1, running_stat=True)
+    _, st = mod.apply(v, x1, running_stat=True, mutable=["quant_stats"])
+    qs1 = st["quant_stats"]
+    _, st2 = mod.apply({"quant_stats": qs1}, x2, running_stat=True,
+                       mutable=["quant_stats"])
+    # running max must not shrink on a smaller batch
+    np.testing.assert_array_equal(
+        np.asarray(st2["quant_stats"]["x_max"]),
+        np.asarray(qs1["x_max"]))
