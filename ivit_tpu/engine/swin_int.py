@@ -14,6 +14,13 @@ Swin-specific freeze-time constants:
   (swin_quant.py:151-158): the fake-quant graph adds float -100 to exact
   multiples of the scale, so the integer addend is exact,
 * PatchMerging slice/concat is pure integer data movement.
+
+Numerics note: Swin's residual stream is 16-bit, so LayerNorm variances
+(sum of y^2 with y up to 2**16) exceed float32 integer exactness; the
+reduction order then determines the low bits, and XLA fusions, Mosaic
+kernels, and the torch reference (which sums in int64) each round
+differently.  Engine outputs therefore match the QAT sim to ~1e-3 relative
+on 16-bit-LN paths instead of bit-exactly (8-bit paths remain exact).
 """
 
 from __future__ import annotations
@@ -30,8 +37,9 @@ from ..models.vit import BitWidths as _BitWidths
 from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
                      _quant_w, _sym_scale, dyadic_multiplier,
                      dyadic_requant_exact)
+from ..ops.pallas import block as pblk
 from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _layernorm_int,
-                      _requant, _softmax_int)
+                      _requant, _softmax_int, _use_pallas)
 
 import dataclasses
 
@@ -261,10 +269,17 @@ def _window_reverse_i(wins, ws, h, w):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
-def swin_engine_forward(spec: SwinEngineSpec, images):
-    """images f32 NHWC -> float logits; all integer inner loop."""
+def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
+    """images f32 NHWC -> float logits; all integer inner loop.
+
+    ``pallas``: fuse the row-local FFN half into the mlp_block_p kernel
+    (ivit/ibert families); window attention runs the per-op XLA path.
+    """
     cfg = spec.config
     p = spec.params
+    fuse_mlp = (_use_pallas(pallas)
+                and cfg.base_type("gelu") in ("ivit", "ibert")
+                and cfg.base_type("ln") in ("ivit", "ibert"))
     B = images.shape[0]
     ps = cfg.patch_size
     grid = cfg.img_size // ps
@@ -351,18 +366,32 @@ def swin_engine_forward(spec: SwinEngineSpec, images):
                      + jnp.round(_f32(x) * blk["m_res1_id"]),
                      -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
-        y = _layernorm_int(cfg, x, blk["ln2_bias_int"], blk["ln2_shift"])
-        y = _requant(y, blk["m_ln2"], 8)
-        acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
-        y = _requant(acc, blk["m_fc1"], 8)
-        y = _gelu_int(cfg, blk, _f32(y))
-        y = _requant(y, blk["m_gelu"], 8)
-        acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
-        y = _requant(acc, blk["m_fc2"], 8)
-
-        x = jnp.clip(jnp.round(_f32(y) * blk["m_res2_x"])
-                     + jnp.round(_f32(x) * blk["m_res2_id"]),
-                     -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
+        if fuse_mlp:
+            xf = x.reshape(B * res * res, dim)
+            xf = pblk.mlp_block_p(
+                xf, ln_bias=blk["ln2_bias_int"], m_ln=blk["m_ln2"],
+                ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
+                fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],
+                s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
+                fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"],
+                m_fc2=blk["m_fc2"], m_res_x=blk["m_res2_x"],
+                m_res_id=blk["m_res2_id"], ln_base=cfg.base_type("ln"),
+                gelu_base=cfg.base_type("gelu"), out_bits=16,
+                out_dtype=jnp.int16)
+            x = xf.reshape(B, res * res, dim)
+        else:
+            y = _layernorm_int(cfg, x, blk["ln2_bias_int"],
+                               blk["ln2_shift"])
+            y = _requant(y, blk["m_ln2"], 8)
+            acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
+            y = _requant(acc, blk["m_fc1"], 8)
+            y = _gelu_int(cfg, blk, _f32(y))
+            y = _requant(y, blk["m_gelu"], 8)
+            acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
+            y = _requant(acc, blk["m_fc2"], 8)
+            x = jnp.clip(jnp.round(_f32(y) * blk["m_res2_x"])
+                         + jnp.round(_f32(x) * blk["m_res2_id"]),
+                         -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
     y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
     y = _requant(y, p["m_lnf"], 8)

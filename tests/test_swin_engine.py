@@ -38,10 +38,22 @@ def test_swin_engine_matches_sim(rng, fam):
     spec = freeze_swin_model(model, variables)
     x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
     sim = np.asarray(model.apply(variables, x, running_stat=False))
-    eng = np.asarray(swin_engine_forward(spec, x))
-    scale = np.abs(sim).max()
-    err = np.abs(eng - sim).max()
-    assert err < 1e-5 * scale + 1e-6, (err, scale)
+    eng = np.asarray(swin_engine_forward(spec, x, pallas=False))
+    import ivit_tpu.ops.pallas as ppkg
+    ppkg.FORCE_INTERPRET = True
+    try:
+        eng_p = np.asarray(swin_engine_forward(spec, x, pallas=True))
+    finally:
+        ppkg.FORCE_INTERPRET = False
+    # 16-bit LN variances exceed f32 integer exactness: reduction order
+    # (XLA vs Mosaic vs torch int64) sets the low bits — see swin_int.py.
+    # With random weights the logits are near-zero, so compare on absolute
+    # terms (a few head-grid steps) plus output correlation.
+    assert np.abs(eng - sim).max() < 2e-3, np.abs(eng - sim).max()
+    assert np.abs(eng_p - eng).max() < 2e-3, np.abs(eng_p - eng).max()
+    for got in (eng, eng_p):
+        corr = np.corrcoef(got.ravel(), sim.ravel())[0, 1]
+        assert corr > 0.999, corr
     assert (eng.argmax(-1) == sim.argmax(-1)).all()
 
 
