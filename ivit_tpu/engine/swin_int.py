@@ -366,7 +366,8 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                      + jnp.round(_f32(x) * blk["m_res1_id"]),
                      -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
-        if fuse_mlp:
+        if fuse_mlp and dim % 128 == 0:
+            # lane-aligned stages only (96/192-dim stages pad 25-33% on VPU)
             xf = x.reshape(B * res * res, dim)
             xf = pblk.mlp_block_p(
                 xf, ln_bias=blk["ln2_bias_int"], m_ln=blk["m_ln2"],
