@@ -77,6 +77,9 @@ class TrainConfig:
     run_id: str = ""
     resume: Optional[str] = None
     log_interval: int = 50
+    log_grad_norm: bool = False            # wandb.watch-style gradient stats
+    mesh_dp: Optional[int] = None          # data-parallel width (None = off)
+    mesh_tp: int = 1                       # tensor-parallel width
 
     def model_config(self) -> dict:
         bw = BitWidths.from_spec(self.bitwidth)
@@ -151,8 +154,31 @@ class Trainer:
         self.best_acc1 = 0.0
         self.start_epoch = 0
 
-        self._train_step = jax.jit(self._make_train_step(),
-                                   static_argnums=(3,))
+        self.mesh = None
+        self._batch_shardings = None
+        if cfg.mesh_dp:
+            from ..parallel import (batch_sharding, make_mesh,
+                                    param_shardings, replicated)
+            self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+            state_shardings = {
+                "params": param_shardings(self.state["params"], self.mesh),
+                "quant_stats": param_shardings(self.state["quant_stats"],
+                                               self.mesh),
+                "opt_state": param_shardings(self.state["opt_state"],
+                                             self.mesh),
+                "step": replicated(self.mesh),
+            }
+            self._batch_shardings = {"image": batch_sharding(self.mesh),
+                                     "label": batch_sharding(self.mesh)}
+            self.state = jax.device_put(self.state, state_shardings)
+            self._train_step = jax.jit(
+                self._make_train_step(), static_argnums=(3,),
+                in_shardings=(state_shardings, self._batch_shardings,
+                              replicated(self.mesh)),
+                out_shardings=(state_shardings, replicated(self.mesh)))
+        else:
+            self._train_step = jax.jit(self._make_train_step(),
+                                       static_argnums=(3,))
         self._eval_step = jax.jit(make_eval_step(self.model, cfg.num_classes))
         self._calib_step = jax.jit(make_calibration_step(self.model))
 
@@ -183,9 +209,12 @@ class Trainer:
             label = batch["label"]
             hard = label.argmax(-1) if label.ndim == 2 else label
             acc = jnp.mean((logits.argmax(-1) == hard).astype(jnp.float32))
+            metrics = {"loss": loss, "acc": acc}
+            if self.cfg.log_grad_norm:
+                metrics["grad_norm"] = optax.global_norm(grads)
             return ({"params": params, "quant_stats": qs,
                      "opt_state": opt_state, "step": state["step"] + 1},
-                    {"loss": loss, "acc": acc})
+                    metrics)
 
         return step
 
@@ -237,9 +266,13 @@ class Trainer:
             images, labels = batch["image"], batch["label"]
             if self.mixup_fn is not None:
                 images, labels = self.mixup_fn(images, labels, self.rng)
+            device_batch = {"image": jnp.asarray(images),
+                            "label": jnp.asarray(labels)}
+            if self._batch_shardings is not None:
+                device_batch = jax.device_put(device_batch,
+                                              self._batch_shardings)
             self.state, metrics = self._train_step(
-                self.state,
-                {"image": jnp.asarray(images), "label": jnp.asarray(labels)},
+                self.state, device_batch,
                 jax.random.PRNGKey(epoch * 100003 + i),
                 running_stat)
             if self.ema_params is not None:

@@ -64,6 +64,12 @@ def parse_args():
     p.add_argument("--pretrained", default=None,
                    help="reference .pth.tar or float weights to start from")
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--log-grad-norm", action="store_true")
+    p.add_argument("--mesh-dp", type=int, default=None,
+                   help="data-parallel width over local devices")
+    p.add_argument("--mesh-tp", type=int, default=1)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize()")
     return p.parse_args()
 
 
@@ -98,6 +104,10 @@ def main():
     if args.layer_type:
         args.gelu = args.softmax = args.layernorm = args.layer_type
 
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+
     ds_train, ds_val, ncls = build_datasets(args)
     cfg = TrainConfig(
         model=args.model, gelu_type=args.gelu, softmax_type=args.softmax,
@@ -112,7 +122,9 @@ def main():
         mixup=args.mixup, cutmix=args.cutmix, smoothing=args.smoothing,
         img_size=args.img_size, num_classes=args.num_classes or ncls,
         seed=args.seed, output_dir=args.output_dir, run_id=args.run_id,
-        resume=args.resume, log_interval=args.log_interval)
+        resume=args.resume, log_interval=args.log_interval,
+        log_grad_norm=args.log_grad_norm,
+        mesh_dp=args.mesh_dp, mesh_tp=args.mesh_tp)
 
     trainer = Trainer(cfg, ds_train, ds_val)
     if args.pretrained and not args.resume:

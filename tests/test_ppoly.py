@@ -94,3 +94,27 @@ def test_engine_ppoly_parity(rng):
     scale = np.abs(sim).max()
     assert np.abs(eng - sim).max() < 1e-4 * scale + 1e-6, \
         np.abs(eng - sim).max()
+
+
+def test_freeze_unfreeze_lifecycle(rng):
+    """fix()/unfix() parity: freeze fits ppoly tables, unfreeze clears."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import build_calibrated
+
+    from ivit_tpu.models.model_utils import freeze_model, unfreeze_model
+
+    model, variables = build_calibrated(
+        rng, gelu="ppoly_backend_float_optim-bounds_false",
+        softmax="ivit", ln="ivit")
+    frozen = freeze_model(model, variables)
+    flags = [np.asarray(v) for k, v in
+             jax.tree_util.tree_flatten_with_path(frozen["quant_stats"])[0]
+             if "fitted" in str(k)]
+    assert flags and all(f[0] == 1.0 for f in flags)
+
+    unfrozen = unfreeze_model(model, frozen)
+    flags = [np.asarray(v) for k, v in
+             jax.tree_util.tree_flatten_with_path(unfrozen["quant_stats"])[0]
+             if "fitted" in str(k)]
+    assert all(f[0] == 0.0 for f in flags)

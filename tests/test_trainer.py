@@ -72,3 +72,18 @@ def test_trainer_end_to_end(tmp_path, rng):
     assert tr2.start_epoch == 1
     assert int(tr2.state["step"]) > 0
     tr2.fit()
+
+
+@pytest.mark.slow
+def test_trainer_on_mesh(tmp_path, rng):
+    """DP training through the Trainer on the virtual 8-device mesh."""
+    ds_train = SyntheticDataset(n=16, img_size=224, num_classes=5)
+    ds_val = SyntheticDataset(n=8, img_size=224, num_classes=5, seed=7)
+    cfg = small_cfg(tmp_path, epochs=1)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, mesh_dp=4, mesh_tp=2, num_classes=5,
+                     log_grad_norm=True, calibration_batches=1)
+    tr = Trainer(cfg, ds_train, ds_val)
+    best = tr.fit()
+    assert 0.0 <= best <= 1.0
+    assert tr.mesh is not None
