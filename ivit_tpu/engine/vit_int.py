@@ -85,10 +85,11 @@ def _softmax_int(cfg, blk, scores_int, pallas=None):
         exp_int, _ = ibert_ops.ibert_softmax_exp_int(_f32(scores_int),
                                                      blk["s_attn"])
         # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311)
-        exp16 = jnp.clip(jnp.round(exp_int / blk["s_exp_act"]),
+        from ..ops.quant import rdiv
+        exp16 = jnp.clip(jnp.round(rdiv(exp_int, blk["s_exp_act"])),
                          -(2.0**15), 2.0**15 - 1)
         exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
-        factor = jnp.floor(2.0**32 / exp_sum)
+        factor = jnp.floor(rdiv(2.0**32, exp_sum))
         return jnp.floor(exp16 * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "ppoly":
         params = cfg.type_params("softmax")

@@ -148,7 +148,7 @@ class QuantLinear(nn.Module):
         w_int = q.quantize_int(kernel, self.weight_bit, fc_scale[None, :])
         bias_scale = fc_scale * pre_scale.reshape(-1)
 
-        x_int = x / pre_scale
+        x_int = q.rdiv(x, pre_scale)
         out = jnp.matmul(x_int, w_int)
         if bias is not None:
             b_int = q.quantize_int(bias, self.bias_bit, bias_scale)
@@ -189,7 +189,7 @@ class QuantConv2d(nn.Module):
                                conv_scale.reshape(1, 1, 1, -1))
         bias_scale = conv_scale * pre_scale.reshape(-1)
 
-        x_int = x / pre_scale
+        x_int = q.rdiv(x, pre_scale)
         out = jax.lax.conv_general_dilated(
             x_int, w_int, window_strides=self.strides, padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -205,8 +205,8 @@ def quant_matmul(a, scale_a, b, scale_b):
     Mirrors reference ``QuantMatMul`` (quant_modules.py:390-409):
     ``(A/sA) @ (B/sB) * (sA*sB)``.
     """
-    a_int = a / scale_a
-    b_int = b / scale_b
+    a_int = q.rdiv(a, scale_a)
+    b_int = q.rdiv(b, scale_b)
     out_scale = (scale_a * scale_b).reshape(-1)
     return jnp.matmul(a_int, b_int) * out_scale, out_scale
 
@@ -284,7 +284,8 @@ class _ExpRangeAct(nn.Module):
         s_act = q.symmetric_quant_params(16, x_min_v.value, x_max_v.value)
         if running_stat:
             scale_v.value = s_act
-        exp16 = jnp.clip(q.round_ste(exp_int / s_act), -(2.0**15), 2.0**15 - 1)
+        exp16 = jnp.clip(q.round_ste(q.rdiv(exp_int, s_act)),
+                         -(2.0**15), 2.0**15 - 1)
         return exp16, s_act
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import floor_ste, pow2, round_ste
+from .quant import floor_ste, pow2, rdiv, round_ste
 
 # --- GELU (int_erf) constants, ibert_modules.py:192-195 ---
 GELU_K = 1.4142
@@ -45,18 +45,18 @@ EXP_C = 1.0 / EXP_A
 
 def int_polynomial(x_int, scaling_factor):
     """2nd-order polynomial a(x+b)x + c in integer domain (ibert:275-283)."""
-    b_int = jax.lax.stop_gradient(jnp.floor(EXP_B / scaling_factor))
-    c_int = jax.lax.stop_gradient(jnp.floor(EXP_C / scaling_factor**2))
+    b_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_B, scaling_factor)))
+    c_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_C, scaling_factor**2)))
     z = x_int * (x_int + b_int) + c_int
     return z, EXP_A * scaling_factor**2
 
 
 def int_exp(x_int, scaling_factor, n: int = EXP_N):
     """I-BERT integer exp via range reduction by -ln2 (ibert:285-295)."""
-    x0_int = jax.lax.stop_gradient(jnp.floor(EXP_X0 / scaling_factor))
+    x0_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_X0, scaling_factor)))
     x_int = jnp.maximum(x_int, n * x0_int)
 
-    q = floor_ste(x_int / x0_int)
+    q = floor_ste(rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int, exp_scale = int_polynomial(r, scaling_factor)
     exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
@@ -65,8 +65,8 @@ def int_exp(x_int, scaling_factor, n: int = EXP_N):
 
 def int_erf(x_int, scaling_factor):
     """sign(x) * (a*(clamp(|x|,-b)+b)**2 + c) integer erf (ibert:203-218)."""
-    b_int = jax.lax.stop_gradient(jnp.floor(GELU_B / scaling_factor))
-    c_int = jax.lax.stop_gradient(jnp.floor(GELU_C / scaling_factor**2))
+    b_int = jax.lax.stop_gradient(jnp.floor(rdiv(GELU_B, scaling_factor)))
+    c_int = jax.lax.stop_gradient(jnp.floor(rdiv(GELU_C, scaling_factor**2)))
 
     sign = jax.lax.stop_gradient(jnp.sign(x_int))
     abs_int = jnp.minimum(jnp.abs(x_int), -b_int)
@@ -83,7 +83,7 @@ def ibert_gelu_int(x_int, scaling_factor):
     """
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     sigmoid_int, sigmoid_scale = int_erf(x_int, scaling_factor / GELU_K)
-    shift_int = jax.lax.stop_gradient(jnp.floor(1.0 / sigmoid_scale))
+    shift_int = jax.lax.stop_gradient(jnp.floor(rdiv(1.0, sigmoid_scale)))
     y_int = x_int * (sigmoid_int + shift_int)
     out_scale = scaling_factor * sigmoid_scale / 2
     return y_int, out_scale
@@ -126,7 +126,7 @@ def ibert_softmax_exp(x, scaling_factor):
 def ibert_softmax_normalize(exp_int, output_bit: int, dtype=jnp.float32):
     """Second half of I-BERT softmax (ibert:312-319): 2**32 reciprocal trick."""
     exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
-    factor = floor_ste(2.0**32 / exp_int_sum)
+    factor = floor_ste(rdiv(2.0**32, exp_int_sum))
     out_int = floor_ste(exp_int * factor / 2 ** (32 - output_bit + 1))
     out_scale = jnp.asarray([2.0 / 2**output_bit], dtype=dtype)
     return out_int * out_scale, out_scale
@@ -139,7 +139,7 @@ def int_bitlength_sqrt(n, iters: int = 4):
     bits = jnp.floor(jnp.log2(jnp.clip(n, 1, None))) + 1
     x = pow2(jnp.ceil(bits / 2))
     for _ in range(iters):
-        inv = floor_ste(n / jnp.clip(x, 1, None))
+        inv = floor_ste(rdiv(n, jnp.clip(x, 1, None)))
         x = floor_ste((x + inv) / 2)
     return jnp.where(mask, x, jnp.zeros_like(x))
 
@@ -182,13 +182,13 @@ def ibert_layernorm_int(x_int, weight, bias, shift,
         std_int = floor_ste(int_bitlength_sqrt(var_int)) * pow2(new_shift)
     else:
         std_int = floor_ste(jnp.sqrt(var_int)) * pow2(new_shift)
-    factor = floor_ste(2.0**31 / std_int)
+    factor = floor_ste(rdiv(2.0**31, std_int))
     y_int = floor_ste(y_int * factor / 2)
     out_scale = dim_sqrt / 2.0**30
 
     w = jax.lax.stop_gradient(weight)
     b = jax.lax.stop_gradient(bias)
-    bias_int = jnp.floor((b / w) / out_scale)
+    bias_int = jnp.floor(rdiv(rdiv(b, w), out_scale))
     y_int = y_int + bias_int
     out_scale = out_scale * weight
     return y_int, out_scale, new_shift

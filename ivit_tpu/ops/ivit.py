@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import floor_ste, pow2, round_ste
+from .quant import floor_ste, pow2, rdiv, round_ste
 
 INT32_MAX = 2.0**31 - 1
 
@@ -43,10 +43,10 @@ def int_exp_shift(x_int, scaling_factor, n: int):
     """
     x_int = x_int + floor_ste(x_int / 2) - floor_ste(x_int / 2**4)
 
-    x0_int = jax.lax.stop_gradient(jnp.floor(-1.0 / scaling_factor))
+    x0_int = jax.lax.stop_gradient(jnp.floor(rdiv(-1.0, scaling_factor)))
     x_int = jnp.maximum(x_int, n * x0_int)
 
-    q = floor_ste(x_int / x0_int)
+    q = floor_ste(rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int = r / 2 - x0_int
     exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
@@ -84,7 +84,7 @@ def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
     exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     exp_int_sum = jnp.minimum(exp_int_sum, INT32_MAX)
 
-    factor = floor_ste(INT32_MAX / exp_int_sum)
+    factor = floor_ste(rdiv(INT32_MAX, exp_int_sum))
     probs_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
     out_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=jnp.float32)
     return probs_int, out_scale
@@ -106,7 +106,7 @@ def shift_gelu_int(pre_x_int, scaling_factor, output_bit: int = 8, n: int = 23):
     exp_int_max, _ = int_exp_shift(-x_int_max, scaling_factor_sig, n=n)  # e^(-max)
     exp_int_sum = jnp.minimum(exp_int + exp_int_max, INT32_MAX)
 
-    factor = floor_ste(INT32_MAX / exp_int_sum)
+    factor = floor_ste(rdiv(INT32_MAX, exp_int_sum))
     sigmoid_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
     sigmoid_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=jnp.float32)
 
@@ -122,7 +122,7 @@ def int_newton_sqrt(var_int, iters: int = 10, k0: float = 2.0**16):
     """
     k = jnp.full_like(var_int, k0)
     for _ in range(iters):
-        k = floor_ste((k + floor_ste(var_int / k)) / 2)
+        k = floor_ste((k + floor_ste(rdiv(var_int, k))) / 2)
     return k
 
 
@@ -143,14 +143,14 @@ def i_layernorm_int(x_int, weight, bias):
 
     std_int = int_newton_sqrt(var_int)
 
-    factor = floor_ste(INT32_MAX / std_int)
+    factor = floor_ste(rdiv(INT32_MAX, std_int))
     y_int = floor_ste(y_int * factor / 2)
     out_scale = dim_sqrt / 2.0**30
 
     # fold bias through the per-channel weight, add in integer domain
     w = jax.lax.stop_gradient(weight)
     b = jax.lax.stop_gradient(bias)
-    bias_int = jnp.floor((b / w) / out_scale)
+    bias_int = jnp.floor(rdiv(rdiv(b, w), out_scale))
     y_int = y_int + bias_int
     out_scale = out_scale * weight
     return y_int, out_scale

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp
 
-from .nonlinear import _floor_div, _int_exp_shift, _pow2
+from .nonlinear import _floor_div, _int_exp_shift, _pow2, _rdiv
 
 INT32_MAX = 2.0**31 - 1
 
@@ -44,12 +44,12 @@ _IB_GELU_C = 1.0 / _IB_GELU_A
 
 def _ibert_int_exp(x_int, s):
     """I-BERT integer exp core in-kernel (ops/ibert.py int_exp)."""
-    x0 = jnp.floor(_IB_EXP_X0 / s)
+    x0 = jnp.floor(_rdiv(_IB_EXP_X0, s))
     x_int = jnp.maximum(x_int, _IB_EXP_N * x0)
     q = _floor_div(x_int, x0, 1.0 / x0)
     r = x_int - x0 * q
-    b_int = jnp.floor(_IB_EXP_B / s)
-    c_int = jnp.floor(_IB_EXP_C / (s * s))
+    b_int = jnp.floor(_rdiv(_IB_EXP_B, s))
+    c_int = jnp.floor(_rdiv(_IB_EXP_C, (s * s)))
     z = r * (r + b_int) + c_int
     return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
 
@@ -57,21 +57,21 @@ def _ibert_int_exp(x_int, s):
 def _ibert_gelu(x, s):
     """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
     se = s / _IB_GELU_K
-    b_int = jnp.floor(_IB_GELU_B / se)
-    c_int = jnp.floor(_IB_GELU_C / (se * se))
+    b_int = jnp.floor(_rdiv(_IB_GELU_B, se))
+    c_int = jnp.floor(_rdiv(_IB_GELU_C, (se * se)))
     sign = jnp.sign(x)
     a = jnp.minimum(jnp.abs(x), -b_int)
     y = sign * ((a + b_int) * (a + b_int) + c_int)
     y = jnp.floor(y * (2.0 ** -_IB_GELU_N))
     sig_scale = se * se * _IB_GELU_A * (2.0 ** _IB_GELU_N)
-    shift = jnp.floor(1.0 / sig_scale)
+    shift = jnp.floor(_rdiv(1.0, sig_scale))
     return x * (y + shift)
 
 
 def _newton_sqrt(var, iters=10, k0=2.0**16):
     k = jnp.full_like(var, k0)
     for _ in range(iters):
-        k = jnp.floor((k + jnp.floor(var / k)) * 0.5)
+        k = jnp.floor((k + jnp.floor(_rdiv(var, k))) * 0.5)
     return k
 
 
@@ -81,7 +81,7 @@ def _i_layernorm(x, bias_int):
     y = x - mean
     var = jnp.sum(y * y, axis=-1, keepdims=True)
     std = _newton_sqrt(var)
-    factor = jnp.floor(INT32_MAX / std)
+    factor = jnp.floor(_rdiv(INT32_MAX, std))
     return jnp.floor(y * factor * 0.5) + bias_int
 
 
@@ -94,7 +94,7 @@ def _ibert_layernorm(x, bias_int, pw_shift):
     y_sh = jnp.floor(y * (1.0 / pw_shift))
     var = jnp.sum(y_sh * y_sh, axis=-1, keepdims=True)
     std = jnp.floor(jnp.sqrt(var)) * pw_shift
-    factor = jnp.floor(2.0**31 / std)
+    factor = jnp.floor(_rdiv(2.0**31, std))
     return jnp.floor(y * factor * 0.5) + bias_int
 
 
@@ -221,7 +221,7 @@ def _shiftmax(x, s, output_bit, n_valid):
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
-    factor = jnp.floor(INT32_MAX / exp_sum)
+    factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
 
 
@@ -236,10 +236,10 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
     exp_int = _ibert_int_exp(x - x_max, s)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
-    exp16 = jnp.clip(jnp.round(exp_int / s_exp_act),
+    exp16 = jnp.clip(jnp.round(_rdiv(exp_int, s_exp_act)),
                      -(2.0**15), 2.0**15 - 1)
     exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
-    factor = jnp.floor(2.0**32 / exp_sum)
+    factor = jnp.floor(_rdiv(2.0**32, exp_sum))
     return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
 
 

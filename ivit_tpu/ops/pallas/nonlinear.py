@@ -31,6 +31,13 @@ from . import _interp
 INT32_MAX = 2.0**31 - 1
 
 
+def _rdiv(a, b):
+    """Newton-corrected division (see ops/quant.rdiv): TPU's f32 divide is
+    ~1 ulp sloppy and flips floor/round constructs at boundaries."""
+    q = a / b
+    return q + (a - q * b) / b
+
+
 def _pow2(k):
     """Exact 2**k inside the kernel (see ops/quant.py pow2)."""
     ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
@@ -58,7 +65,7 @@ def _int_exp_shift(x_int, scaling_factor, n):
     quotient by x0 uses the multiply-and-correct trick above.
     """
     x_int = x_int + jnp.floor(x_int * 0.5) - jnp.floor(x_int * 0.0625)
-    x0_int = jnp.floor(-1.0 / scaling_factor)
+    x0_int = jnp.floor(_rdiv(-1.0, scaling_factor))
     x_int = jnp.maximum(x_int, n * x0_int)
     q = _floor_div(x_int, x0_int, 1.0 / x0_int)
     r = x_int - x0_int * q
@@ -86,7 +93,7 @@ def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
-    factor = jnp.floor(INT32_MAX / exp_sum)
+    factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     probs = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
     o_ref[...] = probs.astype(jnp.int8)
 
@@ -132,7 +139,7 @@ def _shift_gelu_kernel(x_ref, sc_ref, o_ref, *, output_bit, n, out_bits):
     exp_int = _int_exp_shift(xc, s_sig, n)
     exp_max = _int_exp_shift(-x_max, s_sig, n)
     exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
-    factor = jnp.floor(INT32_MAX / exp_sum)
+    factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
     y_int = x * sigmoid_int
     # fused requant to the next activation scale

