@@ -100,9 +100,9 @@ def analyze_exp(scale, families):
     out = {}
     for fam in families:
         if fam == "ivit":
-            e, _ = ivit.int_exp_shift(jnp.asarray(x_int), jnp.asarray(scale),
-                                      n=15)
-            y = np.asarray(e) * scale_pow2(scale, 15)
+            e, e_s = ivit.int_exp_shift(jnp.asarray(x_int), jnp.asarray(scale),
+                                        n=15)
+            y = np.asarray(e) * float(np.asarray(e_s).reshape(-1)[0])
         elif fam == "ibert":
             e, s = ibert.int_exp(jnp.asarray(x_int), jnp.asarray(scale))
             y = np.asarray(e) * float(np.asarray(s).reshape(-1)[0])
@@ -110,13 +110,6 @@ def analyze_exp(scale, families):
             continue
         out[fam] = _err_stats(y, ref)
     return out
-
-
-def scale_pow2(scale, n):
-    # ivit shift-exp emits ints on the 2**-n * ... grid; its own scale
-    # convention is scale/2**n but the exp VALUE normalization is by the max
-    # entry; report against the normalized curve instead
-    return 1.0 / 2.0**n / max(np.exp(0), 1)
 
 
 def analyze_layernorm(scale, families, c=192):
