@@ -129,3 +129,26 @@ def test_requant_16bit_envelope(rng):
     ints = np.asarray(got) / s_out
     assert np.all(ints <= 2**15 - 1 + 0.5)
     assert np.all(ints >= -(2**15) - 0.5)
+
+
+def test_rdiv_behavioral_contract(rng):
+    """rdiv tracks correctly-rounded division to ~1 ulp (it may double-round
+    at near-tie quotients) and must agree with it exactly through the
+    round()/floor() constructs the scheme uses — the property that makes
+    results platform-deterministic (TPU's raw divide is ~1 ulp sloppy)."""
+    a = rng.integers(1, 2**26, size=100000).astype(np.float32)
+    b = rng.integers(1, 2**20, size=100000).astype(np.float32)
+    got = np.asarray(q.rdiv(jnp.asarray(a), jnp.asarray(b)))
+    want = a / b  # numpy: correctly rounded
+    np.testing.assert_allclose(got, want, rtol=3e-7)
+    # fake-quant round trips at LN-output magnitudes: exact recovery
+    s = np.float32(0.0516)
+    z = rng.integers(-(2**26), 2**26, size=100000)
+    x = (z * s).astype(np.float32)
+    got = np.asarray(jnp.round(q.rdiv(jnp.asarray(x), jnp.asarray(s))))
+    np.testing.assert_array_equal(got, np.round(x / s))
+    # weight-quantization boundaries: round agreement
+    w = rng.standard_normal((512, 256)).astype(np.float32) * 0.02
+    ws = (np.maximum(np.abs(w).max(0), 1e-8) / 127).astype(np.float32)
+    got = np.asarray(jnp.round(q.rdiv(jnp.asarray(w), jnp.asarray(ws))))
+    np.testing.assert_array_equal(got, np.round(w / ws))
