@@ -115,3 +115,38 @@ def test_reference_checkpoint_roundtrip(tmp_path, types, rng):
     assert (logits_eng.argmax(-1) == logits_ref.argmax(-1)).all()
     rel = np.abs(logits_eng - logits_ref).max() / scale
     assert rel < 0.2, rel
+
+
+def test_export_roundtrip(tmp_path, rng):
+    """Our variables -> reference-schema .pth.tar -> ingested back: equal."""
+    import jax.numpy as jnp
+
+    from ivit_tpu.compat.export_torch import save_reference_checkpoint
+    from ivit_tpu.compat.torch_ckpt import load_into_model
+    from ivit_tpu.models import str2model
+
+    sys.path.insert(0, "tests")
+    from test_engine import build_calibrated
+
+    model, variables = build_calibrated(rng)
+    # build_calibrated uses a 64px tiny arch; reconstruct the same module
+    cfg = {"model": "deit_tiny_patch16_224"}
+    path = tmp_path / "exported.pth.tar"
+    save_reference_checkpoint(variables, cfg, str(path))
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    reloaded, report = load_into_model(model, str(path), x[:1], strict=True)
+    assert not report["missing"], report["missing"]
+
+    y0 = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables), x,
+                                running_stat=False))
+    y1 = np.asarray(model.apply(jax.tree.map(jnp.asarray, reloaded), x,
+                                running_stat=False))
+    np.testing.assert_allclose(y1, y0, atol=1e-6)
+
+    # the exported dict carries the reference's derived integer buffers
+    import torch as _t
+    sd = _t.load(str(path), weights_only=False)["model"]
+    assert any(k.endswith("weight_integer") for k in sd)
+    assert any(k.endswith("fc_scaling_factor") for k in sd)
+    assert "blocks.0.attn.qkv.weight" in sd
