@@ -4,9 +4,8 @@ This is the TPU analogue of the reference's TVM conversion step
 (``/root/reference/TVM_benchmark/convert_model.py``): it walks the trained
 variables, quantizes every weight to int8 / bias to int32, and builds the
 **static scale graph** — one dyadic requantization multiplier per edge —
-exactly as ``load_qconfig`` does (convert_model.py:69-148), but computed once
-on the host in float64 with the reference's round-half-up 31-bit mantissa
-semantics (``ivit_tpu.ops.dyadic``).
+exactly as ``load_qconfig`` does (convert_model.py:69-148), computed once on
+the host.
 
 The result is an :class:`EngineSpec`: a pytree of device arrays (int8
 weights, int32 biases, f32 requant multipliers, precomputed integer
@@ -14,10 +13,12 @@ constants) plus a static :class:`EngineConfig`.  ``ivit_tpu.engine.vit_int``
 traces the integer forward from it.
 
 Fidelity note: requant multipliers are applied as float32 ``round(z * M)``
-where ``M = float32(m * 2**-e)`` from the exact dyadic pair.  Relative error
-vs the reference's float64 evaluation is <= 2**-24, which can flip rounding
-only at exact ties (~1e-5 of elements on calibrated scales); the
-``tests/test_engine.py`` parity suite quantifies this against the QAT sim.
+where ``M`` is the correctly-rounded f32 scale ratio — bit-identical to what
+the QAT sim computes on device (``ops/quant.py::_requant_value``), and every
+freeze-time scale product replicates the sim's f32 op sequence, so sim and
+engine agree bit-for-bit (tests/test_engine.py enforces 1e-5 rel).  Vs the
+reference's float64 dyadic evaluation the multiplier is within 2**-24
+relative, flipping rounding only at exact ties (~1e-5 of elements).
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ import numpy as np
 
 from ..models.registry import parse_layer_name
 from ..models.vit import BitWidths, VisionTransformer
-from ..ops.dyadic import batch_frexp, dyadic_to_multiplier
 
 F32_EPS = float(np.finfo(np.float32).eps)
 
@@ -55,18 +55,30 @@ def _quant_w(w, num_bits: int, scale):
     return np.clip(z, -n - 1, n)
 
 
-def dyadic_multiplier(s_in, s_out) -> np.ndarray:
-    """float32 multiplier from the exact float64 dyadic pair of s_in/s_out."""
-    ratio = _np(s_in).astype(np.float64) / _np(s_out).astype(np.float64)
-    m, e = batch_frexp(ratio)
-    return dyadic_to_multiplier(m, e).astype(np.float32)
+def requant_multiplier(s_in, s_out) -> np.ndarray:
+    """Correctly-rounded f32 ratio ``s_in / s_out`` — the dyadic multiplier.
+
+    Must replicate what the QAT sim computes on device
+    (``ops/quant.py::_requant_value``: ``rdiv(pre_scale, out_scale)`` of f32
+    scales).  numpy f32/f32 division is correctly rounded, as is ``rdiv`` on
+    every backend, so casting both operands to f32 *before* dividing gives
+    the identical bit pattern.  The f32 ratio is losslessly representable on
+    the reference's 31-bit ``frexp31`` grid (quant_utils.py:151-175), so
+    this stays a faithful dyadic requant multiplier.
+    """
+    return (_np(s_in).astype(np.float32)
+            / _np(s_out).astype(np.float32)).astype(np.float32)
 
 
-def dyadic_requant_exact(z_int, s_in, s_out):
-    """Host-side exact dyadic requant (freeze-time constants like pos-embed)."""
-    ratio = _np(s_in).astype(np.float64) / _np(s_out).astype(np.float64)
-    m, e = batch_frexp(ratio)
-    return np.round(_np(z_int).astype(np.float64) * m / np.exp2(e.astype(np.float64)))
+# backwards-compatible alias (round-1 name)
+dyadic_multiplier = requant_multiplier  # round-1 alias
+
+
+def requant_const(z_int, s_in, s_out):
+    """Freeze-time constant requant: f32 ``round(z * M)``, matching what the
+    sim's identity branch computes elementwise on device."""
+    m = requant_multiplier(s_in, s_out)
+    return np.round(_np(z_int).astype(np.float32) * m)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,19 +202,21 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     s_patch = _act_scale(Q["patch_embed"], "qact", bw.patch_embed)
     p["patch"] = {
         "w": w_int, "b": b_int,
-        "m": dyadic_multiplier(conv_out_scale, s_patch),   # [D]
+        "m": requant_multiplier(conv_out_scale, s_patch),   # [D]
     }
     p["s_patch"] = s_patch
 
     # --- cls token + positional embedding (freeze-time integer constants) ---
-    cls = _np(P["cls_token"]).astype(np.float64)
-    p["cls_int"] = np.round(cls / np.float64(s_patch)).astype(np.float32)
+    # f32 arithmetic throughout: the sim quantizes the raw cls param at the
+    # patch scale via rdiv (correctly-rounded f32), vit.py:264-272
+    cls = _np(P["cls_token"]).astype(np.float32)
+    p["cls_int"] = np.round(cls / s_patch.astype(np.float32))
     s_pos = _act_scale(Q, "qact_pos", bw.pos_encoding)
     s_block0 = _act_scale(Q, "qact1", bw.block_input)
     pos = _np(P["pos_embed"]).astype(np.float32)
     pos_int8 = _quant_w(pos, bw.pos_encoding, s_pos)
-    p["pos_addend"] = dyadic_requant_exact(pos_int8, s_pos, s_block0).astype(np.float32)
-    p["m_x0"] = dyadic_multiplier(s_patch, s_block0)       # scalar
+    p["pos_addend"] = requant_const(pos_int8, s_pos, s_block0).astype(np.float32)
+    p["m_x0"] = requant_multiplier(s_patch, s_block0)      # scalar
     p["s_block0"] = s_block0
 
     # --- blocks ---
@@ -219,7 +233,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_a1 = _act_scale(bq, "qact1", 8)
         blk["ln1_bias_int"] = ln1_bias
         blk["ln1_shift"] = ln1_shift
-        blk["m_ln1"] = dyadic_multiplier(ln1_scale, s_a1)   # [C]
+        blk["m_ln1"] = requant_multiplier(ln1_scale, s_a1)   # [C]
 
         aq = bq["attn"]
         ap = bp["attn"]
@@ -227,12 +241,15 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_q = _act_scale(aq, "qact1", 8)
         blk["qkv_w"] = qkv_w
         blk["qkv_b"] = qkv_b
-        blk["m_qkv"] = dyadic_multiplier(qkv_scale, s_q)    # [3C]
+        blk["m_qkv"] = requant_multiplier(qkv_scale, s_q)    # [3C]
 
         # scores: s_q^2 * attn_scale -> qact_attn1 -> softmax
+        # f32 op-for-op as the sim computes it (quant_matmul's s_a*s_b, then
+        # vit.py:153-154's `s * scale`), so the ratio matches bit-for-bit
         s_attn = _act_scale(aq, "qact_attn1", 8)
-        s_scores = np.float64(s_q) * np.float64(s_q) * np.float64(cfg.attn_scale)
-        blk["m_attn"] = dyadic_multiplier(s_scores, s_attn)
+        s_scores = np.float32(np.float32(s_q * s_q)
+                              * np.float32(cfg.attn_scale))
+        blk["m_attn"] = requant_multiplier(s_scores, s_attn)
         blk["s_attn"] = np.float32(s_attn)
 
         if sm_base == "ibert":
@@ -246,17 +263,17 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
 
         # attn @ v -> qact2 -> proj -> qact3
         s_a2 = _act_scale(aq, "qact2", 8)
-        blk["m_av"] = dyadic_multiplier(np.float64(s_sm) * np.float64(s_q), s_a2)
+        blk["m_av"] = requant_multiplier(np.float32(s_sm * s_q), s_a2)
         proj_w, proj_b, proj_scale = _linear(ap["proj"], s_a2, "proj")
         s_a3 = _act_scale(aq, "qact3", bw.attention_out)
         blk["proj_w"] = proj_w
         blk["proj_b"] = proj_b
-        blk["m_proj"] = dyadic_multiplier(proj_scale, s_a3)  # [C]
+        blk["m_proj"] = requant_multiplier(proj_scale, s_a3)  # [C]
 
         # residual add #1 (qact2 of the Block)
         s_res1 = _act_scale(bq, "qact2", bw.norm2_in)
-        blk["m_res1_x"] = dyadic_multiplier(s_a3, s_res1)
-        blk["m_res1_id"] = dyadic_multiplier(s_block_in, s_res1)
+        blk["m_res1_x"] = requant_multiplier(s_a3, s_res1)
+        blk["m_res1_id"] = requant_multiplier(s_block_in, s_res1)
 
         # norm2 -> qact3 -> mlp
         ln2_bias, ln2_scale, ln2_shift = _ln_site(bp["norm2"], cfg.embed_dim,
@@ -264,14 +281,14 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_m1 = _act_scale(bq, "qact3", 8)
         blk["ln2_bias_int"] = ln2_bias
         blk["ln2_shift"] = ln2_shift
-        blk["m_ln2"] = dyadic_multiplier(ln2_scale, s_m1)
+        blk["m_ln2"] = requant_multiplier(ln2_scale, s_m1)
 
         mp, mq = bp["mlp"], bq["mlp"]
         fc1_w, fc1_b, fc1_scale = _linear(mp["fc1"], s_m1, "fc1")
         s_g = _act_scale(mq, "qact_gelu", 8)
         blk["fc1_w"] = fc1_w
         blk["fc1_b"] = fc1_b
-        blk["m_fc1"] = dyadic_multiplier(fc1_scale, s_g)
+        blk["m_fc1"] = requant_multiplier(fc1_scale, s_g)
         blk["s_gelu"] = np.float32(s_g)
 
         if gelu_base == "ppoly":
@@ -279,28 +296,35 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
             blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
             blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
 
-        # gelu output scale by family
+        # gelu output scale by family — f32 op-for-op as the sim's wrappers
+        # compute it, so the requant ratio matches the sim bit-for-bit
         if gelu_base == "ivit":
-            s_gelu_out = np.float64(s_g) / 2.0 ** 7
+            s_gelu_out = np.float32(s_g) / np.float32(2.0**7)  # exact shift
         elif gelu_base in ("ibert", "ppoly"):
+            # ibert_ops.ibert_gelu_int: s/K -> int_erf's s**2 * A * 2**N ->
+            # s * sig / 2 (ops/ibert.py:66-89), every step rounded in f32
             from ..ops.ibert import GELU_A, GELU_K, GELU_N
-            so = (np.float64(s_g) / GELU_K) ** 2 * GELU_A * 2.0**GELU_N
-            s_gelu_out = np.float64(s_g) * so / 2
+            sk = np.float32(np.float32(s_g) / np.float32(GELU_K))
+            sig = np.float32(np.float32(np.float32(sk * sk)
+                                        * np.float32(GELU_A))
+                             * np.float32(2.0**GELU_N))
+            s_gelu_out = np.float32(np.float32(np.float32(s_g) * sig)
+                                    / np.float32(2.0))
         else:  # float golden: quantized on the input grid
-            s_gelu_out = np.float64(s_g)
+            s_gelu_out = np.float32(s_g)
         s_m2 = _act_scale(mq, "qact1", 8)
-        blk["m_gelu"] = dyadic_multiplier(s_gelu_out, s_m2)
+        blk["m_gelu"] = requant_multiplier(s_gelu_out, s_m2)
 
         fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
         s_mlp_out = _act_scale(mq, "qact2", bw.mlp_out)
         blk["fc2_w"] = fc2_w
         blk["fc2_b"] = fc2_b
-        blk["m_fc2"] = dyadic_multiplier(fc2_scale, s_mlp_out)
+        blk["m_fc2"] = requant_multiplier(fc2_scale, s_mlp_out)
 
         # residual add #2 (qact4)
         s_block_out = _act_scale(bq, "qact4", bw.att_block_out)
-        blk["m_res2_x"] = dyadic_multiplier(s_mlp_out, s_block_out)
-        blk["m_res2_id"] = dyadic_multiplier(s_res1, s_block_out)
+        blk["m_res2_x"] = requant_multiplier(s_mlp_out, s_block_out)
+        blk["m_res2_id"] = requant_multiplier(s_res1, s_block_out)
 
         blocks.append(blk)
         s_block_in = s_block_out
@@ -313,7 +337,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     s_cls = _act_scale(Q, "qact2", 8)
     p["lnf_bias_int"] = lnf_bias
     p["lnf_shift"] = lnf_shift
-    p["m_lnf"] = dyadic_multiplier(lnf_scale, s_cls)
+    p["m_lnf"] = requant_multiplier(lnf_scale, s_cls)
     head_w, head_b, head_scale = _linear(P["head"], s_cls, "head")
     p["head_w"] = head_w
     p["head_b"] = head_b

@@ -148,7 +148,14 @@ class QuantLinear(nn.Module):
         w_int = q.quantize_int(kernel, self.weight_bit, fc_scale[None, :])
         bias_scale = fc_scale * pre_scale.reshape(-1)
 
-        x_int = q.rdiv(x, pre_scale)
+        # Snap to the exact int: the rdiv roundtrip of a fake-quant float can
+        # sit 1 ulp off an integer, which makes the matmul's partial products
+        # inexact and the accumulation reduction-order (i.e. compilation
+        # context) dependent.  With exact-int operands every partial sum is
+        # exactly representable in f32 (the envelope audit asserts acc < 2**24),
+        # so the sim is bit-stable across eager/jit/fusion and bit-equal to
+        # the engine's int32 accumulation.
+        x_int = q.round_ste(q.rdiv(x, pre_scale))
         out = jnp.matmul(x_int, w_int)
         if bias is not None:
             b_int = q.quantize_int(bias, self.bias_bit, bias_scale)
@@ -189,7 +196,9 @@ class QuantConv2d(nn.Module):
                                conv_scale.reshape(1, 1, 1, -1))
         bias_scale = conv_scale * pre_scale.reshape(-1)
 
-        x_int = q.rdiv(x, pre_scale)
+        # exact-int snap — see QuantLinear for why this is required for
+        # bit-stability across compilation contexts
+        x_int = q.round_ste(q.rdiv(x, pre_scale))
         out = jax.lax.conv_general_dilated(
             x_int, w_int, window_strides=self.strides, padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -205,8 +214,10 @@ def quant_matmul(a, scale_a, b, scale_b):
     Mirrors reference ``QuantMatMul`` (quant_modules.py:390-409):
     ``(A/sA) @ (B/sB) * (sA*sB)``.
     """
-    a_int = q.rdiv(a, scale_a)
-    b_int = q.rdiv(b, scale_b)
+    # exact-int snap — see QuantLinear for why this is required for
+    # bit-stability across compilation contexts
+    a_int = q.round_ste(q.rdiv(a, scale_a))
+    b_int = q.round_ste(q.rdiv(b, scale_b))
     out_scale = (scale_a * scale_b).reshape(-1)
     return jnp.matmul(a_int, b_int) * out_scale, out_scale
 
@@ -416,13 +427,13 @@ class PPolyGELU(nn.Module):
 
         s = scaling_factor
         if self.backend == "ibert":
-            so = (s / ibert_ops.GELU_K) ** 2 * ibert_ops.GELU_A * (2**ibert_ops.GELU_N)
+            so = q.rdiv(s, ibert_ops.GELU_K) ** 2 * ibert_ops.GELU_A * (2**ibert_ops.GELU_N)
             out_scale = s * so / 2
         else:
             out_scale = s / (2.0**self.scale_bits)
         out_scale = jax.lax.stop_gradient(out_scale)
 
-        x_int = q.floor_ste(x / s)
+        x_int = q.floor_ste(q.rdiv(x, s))
         y_poly = eval_piecewise_poly(
             jax.lax.stop_gradient(x_int),
             bounds_v.value.astype(jnp.float32), coeffs_v.value)
@@ -472,7 +483,7 @@ class PPolySoftmax(nn.Module):
                                    lambda: jnp.zeros((1,), jnp.float32))
 
         s = jnp.reshape(scaling_factor, (-1,))[:1]
-        x_int = q.floor_ste(x / s)
+        x_int = q.floor_ste(q.rdiv(x, s))
         x_int_max = jnp.max(jax.lax.stop_gradient(x_int), axis=-1, keepdims=True)
         x_off = x_int - x_int_max + 127  # offset domain (ppoly_modules.py:306)
 
@@ -493,7 +504,7 @@ class PPolySoftmax(nn.Module):
 
         exp_int = jnp.floor(exp_int / 2 ** (30 - self.exp_bits + 1))
         exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, None)
-        factor = jnp.floor(2.0**32 / exp_sum)
+        factor = jnp.floor(q.rdiv(2.0**32, exp_sum))
         softmax_int = jnp.floor(exp_int * factor / 2 ** (32 - self.output_bit + 1))
 
         out_scale = jnp.asarray([2.0 / 2**self.output_bit], dtype=x.dtype)

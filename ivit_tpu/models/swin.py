@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import registry
+from ..ops import quant as q
 from .layers import QuantAct, QuantLinear, quant_matmul
 from .vit import DropPath, Mlp, PatchEmbed
 
@@ -304,7 +305,15 @@ class SwinTransformer(nn.Module):
         x, s = norm_factory(num_features, name="norm")(
             x, s, running_stat=running_stat)
         x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat)
-        x = jnp.mean(x, axis=1)                   # avgpool over tokens
+        # avgpool over tokens, computed on the exact ints (reference:
+        # AdaptiveAvgPool1d on the fake-quant floats, swin_quant.py:553).
+        # A float mean's divide-by-N and product roundings are compilation-
+        # context dependent; the exact-int sum + rdiv form is deterministic
+        # and bit-mirrored by the engine (engine/swin_int.py pool).
+        x_int = q.round_ste(q.rdiv(x, s))
+        pooled = q.round_ste(q.rdiv(q.exact_int_sum(jnp.swapaxes(x_int, 1, 2)),
+                                    jnp.float32(x_int.shape[1])))[..., 0]
+        x = pooled * s
         x, s = QuantAct(name="qact3")(x, s, running_stat=running_stat)
         x, _ = QuantLinear(self.num_classes, name="head")(x, s)
         return x

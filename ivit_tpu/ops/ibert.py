@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import floor_ste, pow2, rdiv, round_ste
+from .quant import (exact_fma, exact_int_sum, exact_sq_sum, floor_ste,
+                    pow2, rdiv, round_ste)
 
 # --- GELU (int_erf) constants, ibert_modules.py:192-195 ---
 GELU_K = 1.4142
@@ -47,7 +48,9 @@ def int_polynomial(x_int, scaling_factor):
     """2nd-order polynomial a(x+b)x + c in integer domain (ibert:275-283)."""
     b_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_B, scaling_factor)))
     c_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_C, scaling_factor**2)))
-    z = x_int * (x_int + b_int) + c_int
+    # exact_fma: the plain mul-add is FMA-contraction-dependent once the
+    # product passes 2**24 (small calibrated scales) — see ops/quant.py
+    z = exact_fma(x_int, x_int + b_int, c_int)
     return z, EXP_A * scaling_factor**2
 
 
@@ -70,7 +73,8 @@ def int_erf(x_int, scaling_factor):
 
     sign = jax.lax.stop_gradient(jnp.sign(x_int))
     abs_int = jnp.minimum(jnp.abs(x_int), -b_int)
-    y_int = sign * ((abs_int + b_int) ** 2 + c_int)
+    t = abs_int + b_int
+    y_int = sign * exact_fma(t, t, c_int)
     scaling_factor = scaling_factor**2 * GELU_A
     y_int = floor_ste(y_int / 2**GELU_N)
     return y_int, scaling_factor * 2**GELU_N
@@ -82,7 +86,9 @@ def ibert_gelu_int(x_int, scaling_factor):
     Returns ``(y_int, out_scale)``; ``y_int = x_int * (erf_int + shift)``.
     """
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
-    sigmoid_int, sigmoid_scale = int_erf(x_int, scaling_factor / GELU_K)
+    # rdiv: the scale chain must be correctly rounded so the freeze-time f32
+    # restatement (engine/freeze.py) reproduces it bit-for-bit on TPU
+    sigmoid_int, sigmoid_scale = int_erf(x_int, rdiv(scaling_factor, GELU_K))
     shift_int = jax.lax.stop_gradient(jnp.floor(rdiv(1.0, sigmoid_scale)))
     y_int = x_int * (sigmoid_int + shift_int)
     out_scale = scaling_factor * sigmoid_scale / 2
@@ -91,7 +97,7 @@ def ibert_gelu_int(x_int, scaling_factor):
 
 def ibert_gelu(x, scaling_factor):
     """I-BERT GELU on fake-quant floats; see :func:`ibert_gelu_int`."""
-    y_int, out_scale = ibert_gelu_int(x / scaling_factor, scaling_factor)
+    y_int, out_scale = ibert_gelu_int(rdiv(x, scaling_factor), scaling_factor)
     return y_int * out_scale, out_scale
 
 
@@ -120,12 +126,12 @@ def ibert_softmax_exp(x, scaling_factor):
     Returns ``(exp_int, exp_scale)``; the caller requantizes through a 16-bit
     QuantAct and finishes with :func:`ibert_softmax_normalize`.
     """
-    return ibert_softmax_exp_int(x / scaling_factor, scaling_factor)
+    return ibert_softmax_exp_int(rdiv(x, scaling_factor), scaling_factor)
 
 
 def ibert_softmax_normalize(exp_int, output_bit: int, dtype=jnp.float32):
     """Second half of I-BERT softmax (ibert:312-319): 2**32 reciprocal trick."""
-    exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
+    exp_int_sum = exact_int_sum(exp_int)
     factor = floor_ste(rdiv(2.0**32, exp_int_sum))
     out_int = floor_ste(exp_int * factor / 2 ** (32 - output_bit + 1))
     out_scale = jnp.asarray([2.0 / 2**output_bit], dtype=dtype)
@@ -157,18 +163,20 @@ def ibert_layernorm_int(x_int, weight, bias, shift,
     dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=jnp.float32))
 
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
-    mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
+    # rdiv, not jnp.mean: XLA strength-reduces the mean's divide-by-C into a
+    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties
+    mean_int = round_ste(rdiv(exact_int_sum(x_int), jnp.float32(dim)))
     y_int = x_int - mean_int
 
     def _var(s):
         y_shifted = floor_ste(y_int / pow2(s))
-        return jnp.sum(y_shifted * y_shifted, axis=-1, keepdims=True)
+        return exact_sq_sum(y_shifted)
 
     var_int = _var(shift)
     if overflow_handling:
         # branchless re-derivation of set_shift (ibert:69-76): needed shift so
         # that var/2**(2*shift) < 2**32, taken as a max over the batch.
-        raw_var = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
+        raw_var = exact_sq_sum(y_int)
         needed = jnp.ceil(jnp.log2(jnp.sqrt(
             jax.lax.stop_gradient(raw_var) / 2.0**32)))
         needed = jnp.max(needed)

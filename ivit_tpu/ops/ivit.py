@@ -29,7 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import floor_ste, pow2, rdiv, round_ste
+from .quant import (exact_int_sum, exact_sq_sum, floor_ste, pow2, rdiv,
+                    round_ste)
 
 INT32_MAX = 2.0**31 - 1
 
@@ -81,8 +82,7 @@ def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
     exp_int, _ = int_exp_shift(x_int, scaling_factor, n=15)
     if n_valid is not None and n_valid != x_int.shape[-1]:
         exp_int = jnp.where(mask, exp_int, 0.0)
-    exp_int_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
-    exp_int_sum = jnp.minimum(exp_int_sum, INT32_MAX)
+    exp_int_sum = jnp.minimum(exact_int_sum(exp_int), INT32_MAX)
 
     factor = floor_ste(rdiv(INT32_MAX, exp_int_sum))
     probs_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
@@ -137,9 +137,11 @@ def i_layernorm_int(x_int, weight, bias):
     dim_sqrt = jnp.sqrt(jnp.asarray(dim, dtype=jnp.float32))
 
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
-    mean_int = round_ste(jnp.mean(x_int, axis=-1, keepdims=True))
+    # rdiv, not jnp.mean: XLA strength-reduces the mean's divide-by-C into a
+    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties
+    mean_int = round_ste(rdiv(exact_int_sum(x_int), jnp.float32(dim)))
     y_int = x_int - mean_int
-    var_int = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
+    var_int = exact_sq_sum(y_int)
 
     std_int = int_newton_sqrt(var_int)
 
@@ -162,19 +164,19 @@ def i_layernorm_int(x_int, weight, bias):
 
 def shiftmax(x, scaling_factor, output_bit: int = 8):
     """Shiftmax on fake-quant floats; see :func:`shiftmax_int`."""
-    probs_int, out_scale = shiftmax_int(x / scaling_factor, scaling_factor,
+    probs_int, out_scale = shiftmax_int(rdiv(x, scaling_factor), scaling_factor,
                                         output_bit)
     return probs_int * out_scale.astype(x.dtype), out_scale.astype(x.dtype)
 
 
 def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
     """ShiftGELU on fake-quant floats; see :func:`shift_gelu_int`."""
-    y_int, out_scale = shift_gelu_int(x / scaling_factor, scaling_factor,
+    y_int, out_scale = shift_gelu_int(rdiv(x, scaling_factor), scaling_factor,
                                       output_bit, n)
     return y_int * out_scale, out_scale
 
 
 def i_layernorm(x, scaling_factor, weight, bias):
     """I-LayerNorm on fake-quant floats; see :func:`i_layernorm_int`."""
-    y_int, out_scale = i_layernorm_int(x / scaling_factor, weight, bias)
+    y_int, out_scale = i_layernorm_int(rdiv(x, scaling_factor), weight, bias)
     return y_int * out_scale, out_scale

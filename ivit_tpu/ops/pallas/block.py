@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp
 
-from .nonlinear import _floor_div, _int_exp_shift, _pow2, _rdiv
+from .nonlinear import (_exact_fma, _floor_div, _int_exp_shift, _int_sum,
+                        _pow2, _rdiv, _sq_sum)
 
 INT32_MAX = 2.0**31 - 1
 
@@ -50,18 +51,18 @@ def _ibert_int_exp(x_int, s):
     r = x_int - x0 * q
     b_int = jnp.floor(_rdiv(_IB_EXP_B, s))
     c_int = jnp.floor(_rdiv(_IB_EXP_C, (s * s)))
-    z = r * (r + b_int) + c_int
+    z = _exact_fma(r, r + b_int, c_int)
     return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
 
 
 def _ibert_gelu(x, s):
     """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
-    se = s / _IB_GELU_K
+    se = _rdiv(s, _IB_GELU_K)
     b_int = jnp.floor(_rdiv(_IB_GELU_B, se))
     c_int = jnp.floor(_rdiv(_IB_GELU_C, (se * se)))
     sign = jnp.sign(x)
     a = jnp.minimum(jnp.abs(x), -b_int)
-    y = sign * ((a + b_int) * (a + b_int) + c_int)
+    y = sign * _exact_fma(a + b_int, a + b_int, c_int)
     y = jnp.floor(y * (2.0 ** -_IB_GELU_N))
     sig_scale = se * se * _IB_GELU_A * (2.0 ** _IB_GELU_N)
     shift = jnp.floor(_rdiv(1.0, sig_scale))
@@ -77,9 +78,11 @@ def _newton_sqrt(var, iters=10, k0=2.0**16):
 
 def _i_layernorm(x, bias_int):
     """ivit I-LayerNorm core on f32-held ints (ivit_modules.py:30-65)."""
-    mean = jnp.round(jnp.mean(x, axis=-1, keepdims=True))
+    # _rdiv mean, not jnp.mean: XLA/Mosaic strength-reduce divide-by-C into
+    # a 1-ulp-sloppy reciprocal multiply, flipping round() ties vs the sim
+    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(x.shape[-1])))
     y = x - mean
-    var = jnp.sum(y * y, axis=-1, keepdims=True)
+    var = _sq_sum(y)
     std = _newton_sqrt(var)
     factor = jnp.floor(_rdiv(INT32_MAX, std))
     return jnp.floor(y * factor * 0.5) + bias_int
@@ -89,10 +92,10 @@ def _ibert_layernorm(x, bias_int, pw_shift):
     """ibert LayerNorm core, frozen shift (ibert_modules.py:112-158).
 
     ``pw_shift`` is the precomputed exact power 2**shift (freeze-time)."""
-    mean = jnp.round(jnp.mean(x, axis=-1, keepdims=True))
+    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(x.shape[-1])))
     y = x - mean
     y_sh = jnp.floor(y * (1.0 / pw_shift))
-    var = jnp.sum(y_sh * y_sh, axis=-1, keepdims=True)
+    var = _sq_sum(y_sh)
     std = jnp.floor(jnp.sqrt(var)) * pw_shift
     factor = jnp.floor(_rdiv(2.0**31, std))
     return jnp.floor(y * factor * 0.5) + bias_int
@@ -108,7 +111,7 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23):
     exp_int = _int_exp_shift(x - x_max, s_sig, n)
     exp_max = _int_exp_shift(-x_max, s_sig, n)
     exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
-    factor = jnp.floor(INT32_MAX / exp_sum)
+    factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
     return x * sigmoid_int
 
@@ -220,7 +223,7 @@ def _shiftmax(x, s, output_bit, n_valid):
     exp_int = _int_exp_shift(x - x_max, s, 15)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
-    exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
+    exp_sum = jnp.minimum(_int_sum(exp_int), INT32_MAX)
     factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
 
@@ -238,7 +241,7 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp16 = jnp.clip(jnp.round(_rdiv(exp_int, s_exp_act)),
                      -(2.0**15), 2.0**15 - 1)
-    exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
+    exp_sum = _int_sum(exp16)
     factor = jnp.floor(_rdiv(2.0**32, exp_sum))
     return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
 

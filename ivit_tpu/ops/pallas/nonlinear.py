@@ -31,11 +31,66 @@ from . import _interp
 INT32_MAX = 2.0**31 - 1
 
 
+_DEKKER_SPLIT = 4097.0  # 2**12 + 1 for float32
+
+
 def _rdiv(a, b):
-    """Newton-corrected division (see ops/quant.rdiv): TPU's f32 divide is
-    ~1 ulp sloppy and flips floor/round constructs at boundaries."""
+    """Correctly-rounded f32 division (see ops/quant.rdiv): TPU's f32 divide
+    is ~1 ulp sloppy and flips floor/round constructs at boundaries.  The
+    residual is computed exactly via the Dekker two-product, so the result is
+    identical whether or not Mosaic contracts multiply-adds into FMAs —
+    keeping the kernels bit-equal to the unfused engine and the QAT sim."""
     q = a / b
-    return q + (a - q * b) / b
+    p = q * b
+    th = _DEKKER_SPLIT * q
+    qh = th - (th - q)
+    ql = q - qh
+    tb = _DEKKER_SPLIT * b
+    bh = tb - (tb - b)
+    bl = b - bh
+    e = ((qh * bh - p) + qh * bl + ql * bh) + ql * bl
+    r = (a - p) - e
+    return q + r / b
+
+
+def _exact_fma(a, b, c):
+    """Correctly-rounded a*b + c, contraction-immune (ops/quant.exact_fma)."""
+    p = a * b
+    ta = _DEKKER_SPLIT * a
+    ah = ta - (ta - a)
+    al = a - ah
+    tb = _DEKKER_SPLIT * b
+    bh = tb - (tb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    s = p + c
+    bp = s - c
+    err_add = (p - bp) + (c - (s - bp))
+    return s + (err_add + e)
+
+
+def _int_sum(x):
+    """Order-independent last-axis sum of integer-valued f32 via the
+    two-limb int32 scheme — bit-identical to ops/quant.exact_int_sum."""
+    x = jnp.clip(x, -(2.0**31), 2.0**31)
+    h = jnp.floor(x * (2.0**-8))
+    l = x - h * (2.0**8)
+    s_h = jnp.sum(h.astype(jnp.int32), axis=-1, keepdims=True)
+    s_l = jnp.sum(l.astype(jnp.int32), axis=-1, keepdims=True)
+    return s_h.astype(jnp.float32) * 2.0**8 + s_l.astype(jnp.float32)
+
+
+def _sq_sum(y):
+    """Order-independent last-axis sum of squares via the two-limb int32
+    scheme — see ops/quant.exact_sq_sum (bit-identical recombination)."""
+    a = jnp.floor(y * (2.0**-8))
+    b = y - a * (2.0**8)
+    s_aa = jnp.sum((a * a).astype(jnp.int32), axis=-1, keepdims=True)
+    s_ab = jnp.sum((a * b).astype(jnp.int32), axis=-1, keepdims=True)
+    s_bb = jnp.sum((b * b).astype(jnp.int32), axis=-1, keepdims=True)
+    return (s_aa.astype(jnp.float32) * 2.0**16
+            + (s_ab.astype(jnp.float32) * 2.0**9
+               + s_bb.astype(jnp.float32)))
 
 
 def _pow2(k):
@@ -92,7 +147,7 @@ def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
     exp_int = _int_exp_shift(x, s, 15)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
-    exp_sum = jnp.minimum(jnp.sum(exp_int, axis=-1, keepdims=True), INT32_MAX)
+    exp_sum = jnp.minimum(_int_sum(exp_int), INT32_MAX)
     factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     probs = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
     o_ref[...] = probs.astype(jnp.int8)

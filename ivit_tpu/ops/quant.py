@@ -35,21 +35,60 @@ import jax.numpy as jnp
 F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 
-def rdiv(a, b):
-    """Division with one Newton correction step.
+_DEKKER_SPLIT = 4097.0  # 2**12 + 1 for float32 (p=24 -> 12/12-bit halves)
 
-    TPU XLA lowers f32 division as reciprocal-multiply that is ~1 ulp sloppy
-    (measured: 35% of integer-ratio quotients differ from the correctly
-    rounded result), which flips the scheme's floor/round constructs at
-    boundaries — e.g. ~1e-5 of on-device weight quantizations differed
-    between TPU and CPU.  The correction ``q + (a - q*b)/b`` cancels the
-    first-order quotient error (the residual subtraction is exact by
-    Sterbenz), leaving results platform-deterministic at every rounding
-    boundary the scheme can hit.  Use for every division that feeds a
-    floor/round.
+
+def _split(x):
+    """Dekker split: x == hi + lo with hi, lo each <= 12 significant bits."""
+    t = _DEKKER_SPLIT * x
+    hi = t - (t - x)
+    return hi, x - hi
+
+
+def _two_product_err(x, y, p):
+    """Exact error e of p = fl(x*y), i.e. x*y == p + e (Dekker/Veltkamp).
+
+    Every partial product is exact (12x12-bit operands), so the value is
+    identical whether or not the compiler contracts the multiply-adds into
+    FMAs — the property that makes :func:`rdiv` bit-stable across eager
+    dispatch, jit, and fusion contexts.
     """
+    xh, xl = _split(x)
+    yh, yl = _split(y)
+    return ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+
+
+def rdiv(a, b):
+    """Correctly-rounded f32 division, bit-stable in every compilation context.
+
+    Two problems with plain ``a / b``:
+    * TPU XLA lowers f32 division as reciprocal-multiply that is ~1 ulp
+      sloppy (measured: 35% of integer-ratio quotients differ from the
+      correctly rounded result) — flipping the scheme's floor/round
+      constructs at boundaries (~1e-5 of on-device weight quantizations).
+    * a naive Newton correction ``q + (a - q*b)/b`` is only exact when the
+      compiler contracts ``q*b`` into an FMA.  XLA does that under jit but
+      NOT in eager op-by-op dispatch, so the same expression returned
+      different bits in different contexts — which is how the round-1
+      sim-vs-engine 0.12 rel error on deep models was born (each flipped
+      tie is a full quant step, compounding over 12 blocks).
+
+    Here the residual ``r = a - q*b`` is computed exactly via the Dekker
+    two-product (contraction-immune by construction), so ``q + r/b`` is the
+    correctly rounded quotient everywhere: CPU/TPU, eager/jit, any fusion.
+    Use for every division that feeds a floor/round.
+
+    Operands are coerced to f32 first: a Python-float divisor would have its
+    Veltkamp split evaluated in host f64 (hi == b, lo == 0), silently
+    degrading the correction to ~1 ulp noise in eager dispatch only.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
     q = a / b
-    return q + (a - q * b) / b
+    p = q * b
+    e = _two_product_err(q, b, p)
+    r = (a - p) - e          # a - q*b exactly (a - p is Sterbenz-exact)
+    return q + r / b
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +165,11 @@ def symmetric_quant_params(num_bits: int, x_min, x_max):
     """
     n = 2 ** (num_bits - 1) - 1
     mag = jnp.maximum(-x_min, x_max)
-    scale = jnp.maximum(mag / n, F32_EPS)
+    # rdiv, not plain `/`: under jit XLA strength-reduces division by a
+    # constant into a reciprocal multiply (even on CPU), which is 1 ulp off
+    # for ~30/768 typical weight columns — enough to flip w_int ties and
+    # make the sim's weights compilation-context-dependent.
+    scale = jnp.maximum(rdiv(mag, jnp.float32(n)), F32_EPS)
     return jax.lax.stop_gradient(scale)
 
 
@@ -149,6 +192,115 @@ def quantize_int(x, num_bits: int, scale):
     return jnp.clip(x_int, -n - 1, n)
 
 
+def exact_fma(a, b, c):
+    """Correctly-rounded ``a*b + c`` in every compilation context.
+
+    A plain ``a * b + c`` is contraction-dependent: XLA emits an FMA under
+    jit but rounds the product first in eager dispatch, so when ``a*b``
+    exceeds 2**24 (the I-BERT erf/exp polynomial constants reach ~2**28 at
+    small calibrated scales) the two contexts differ by an ulp and flip the
+    scheme's floor() constructs.  This emulates the FMA exactly: the Dekker
+    two-product gives the product's rounding error, TwoSum the addition's,
+    and both corrections are applied in one final rounding.  Every partial
+    product is exact (12x12-bit splits), so the value is identical with or
+    without hardware FMA contraction.  Autodiff sees a linear composition
+    and yields the exact algebraic gradients (b*g, a*g, g).
+
+    Operands are coerced to f32 first (see :func:`rdiv` — a Python-float
+    operand would be split in host f64, corrupting the error term).
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    p = a * b
+    e = _two_product_err(a, b, p)
+    s = p + c
+    bp = s - c
+    err_add = (p - bp) + (c - (s - bp))
+    return s + (err_add + e)
+
+
+@jax.custom_vjp
+def exact_int_sum(x):
+    """Order-independent last-axis sum of integer-valued f32 (keepdims).
+
+    An f32 reduction whose partial sums cross 2**24 is reduction-order — and
+    therefore compilation-context — dependent (measured: the Shiftmax exp
+    sum, elements up to ~2**22 over 200 columns, flipped the downstream
+    ``floor(INT32_MAX/sum)`` between eager and jit and broke sim↔engine
+    parity at img=224).  Summing in int32 is exact for any order whenever the
+    true sum fits int32 (every scheme site is bounded well below 2**31 — the
+    envelope audit asserts it), and the final f32 cast rounds once,
+    deterministically.
+
+    Gradient: same as ``jnp.sum`` (broadcast), matching the reference's
+    autograd through ``exp_int.sum()`` (ivit_modules.py:173).
+
+    Two-limb scheme (a single int32 sum would *wrap* on the Shiftmax exp
+    rows, whose true sums approach 2**31): split ``x = 2**8 h + l`` exactly,
+    sum each limb in int32 (``sum(h) <= N * 2**23 < 2**31`` for every
+    in-envelope element, ``sum(l) < N * 2**8``), recombine with a fixed
+    two-rounding f32 sequence.  Exact whenever the true sum fits 2**24;
+    deterministic always.
+    """
+    x = jnp.clip(x, -(2.0**31), 2.0**31)   # keep h within int32 after summing
+    h = jnp.floor(x * (2.0**-8))
+    l = x - h * (2.0**8)
+    s_h = jnp.sum(h.astype(jnp.int32), axis=-1, keepdims=True)
+    s_l = jnp.sum(l.astype(jnp.int32), axis=-1, keepdims=True)
+    return s_h.astype(jnp.float32) * 2.0**8 + s_l.astype(jnp.float32)
+
+
+def _eis_fwd(x):
+    return exact_int_sum(x), x.shape
+
+
+def _eis_bwd(shape, g):
+    return (jnp.broadcast_to(g, shape),)
+
+
+exact_int_sum.defvjp(_eis_fwd, _eis_bwd)
+
+
+@jax.custom_vjp
+def exact_sq_sum(y):
+    """Order-independent last-axis sum of squares of integer-valued f32.
+
+    The LayerNorm variance: for 16-bit activations ``y = x - mean`` reaches
+    ±2**16, so ``y*y`` (up to 2**32) is not even representable in f32 or
+    int32, and a plain f32 reduction is reduction-order nondeterministic —
+    the source of the round-1 ~1e-3 sim↔engine gap on 16-bit LN configs.
+
+    Exact two-limb scheme: split ``y = 2**8 a + b`` (both exact), so
+    ``sum(y^2) = 2**16 S_aa + 2**9 S_ab + S_bb`` with each partial sum an
+    exact int32 (|a| <= 257, b < 256, C <= 4096 keeps every S below 2**31).
+    The recombination rounds to f32 in a fixed two-add sequence —
+    deterministic in every compilation context, identical in the QAT sim,
+    the unfused engine, and the Pallas kernels.
+
+    Gradient: ``2 y g`` (same as ``jnp.sum(y*y)``).
+    """
+    a = jnp.floor(y * (2.0**-8))
+    b = y - a * (2.0**8)
+    s_aa = jnp.sum((a * a).astype(jnp.int32), axis=-1, keepdims=True)
+    s_ab = jnp.sum((a * b).astype(jnp.int32), axis=-1, keepdims=True)
+    s_bb = jnp.sum((b * b).astype(jnp.int32), axis=-1, keepdims=True)
+    return (s_aa.astype(jnp.float32) * 2.0**16
+            + (s_ab.astype(jnp.float32) * 2.0**9
+               + s_bb.astype(jnp.float32)))
+
+
+def _ess_fwd(y):
+    return exact_sq_sum(y), y
+
+
+def _ess_bwd(y, g):
+    return (2.0 * y * g,)
+
+
+exact_sq_sum.defvjp(_ess_fwd, _ess_bwd)
+
+
 def fake_quantize(x, num_bits: int, scale):
     """x -> clamp(round(x/s)) * s ; overall straight-through gradient."""
     scale = jax.lax.stop_gradient(scale)
@@ -159,29 +311,27 @@ def fake_quantize(x, num_bits: int, scale):
 # Dyadic fixed-point requantization (fake-quant formulation)
 # ---------------------------------------------------------------------------
 
-def _dyadic_pair(scale_ratio):
-    """On-device (m, e) decomposition of a positive multiplier.
-
-    float32 analogue of ``ivit_tpu.ops.dyadic.batch_frexp``: mantissa is
-    round-half-up of ``frexp(M).mantissa * 2**31``.  Used in the QAT graph
-    where the pair must be recomputed as ranges move; the frozen engine uses
-    the exact float64 host decomposition instead.
-    """
-    m_f, exp = jnp.frexp(scale_ratio)
-    m = jnp.floor(m_f * (2.0**31) + 0.5)
-    e = 31.0 - exp.astype(m_f.dtype)
-    return m, e
-
-
 def _requant_value(num_bits, x, pre_scale, out_scale, identity, identity_scale):
+    """``round(z * M)`` with ``M = fl32(pre_scale / out_scale)``.
+
+    The correctly-rounded f32 ratio IS a dyadic multiplier: its 24-bit
+    mantissa is losslessly representable on the reference's 31-bit
+    ``frexp31`` grid (quant_utils.py:151-175), so this is the reference's
+    ``round(z * m / 2**e)`` with an f32-quantized ``m`` — within 2**-24
+    relative of the float64 pair, i.e. identical except at exact ties.
+    Evaluating the requant as ONE f32 multiply (not ``z*m`` then ``*2**-e``)
+    is what the frozen engine does with the same host-computed multiplier
+    (``engine/freeze.py::requant_multiplier``), which keeps the QAT sim and
+    the integer engine bit-identical — the scheme's central invariant
+    (tests/test_engine.py).  ``rdiv`` makes both divisions correctly rounded
+    on TPU, so the multiplier matches the host bit-for-bit.
+    """
     n = 2 ** (num_bits - 1) - 1
     z = jnp.round(rdiv(x, pre_scale))
-    m, e = _dyadic_pair((pre_scale / out_scale).astype(jnp.float32))
-    out = jnp.round(z * m * pow2(-e))
+    out = jnp.round(z * rdiv(pre_scale, out_scale))
     if identity is not None:
         zi = jnp.round(rdiv(identity, identity_scale))
-        mi, ei = _dyadic_pair((identity_scale / out_scale).astype(jnp.float32))
-        out = out + jnp.round(zi * mi * pow2(-ei))
+        out = out + jnp.round(zi * rdiv(identity_scale, out_scale))
     if num_bits in (4, 8, 16, 32):
         out = jnp.clip(out, -n - 1, n)
     return out * out_scale
@@ -240,10 +390,13 @@ def fixedpoint_requant(
     ``* out_scale`` that QuantAct applies (quant_modules.py:385-387):
 
         z   = round(x / pre_scale)                 # recover the int
-        m,e = frexp31(pre_scale / out_scale)
-        out = round(z * m / 2**e)                  # dyadic requant
+        M   = fl32(pre_scale / out_scale)          # f32 dyadic multiplier
+        out = round(z * M)                         # dyadic requant
         (+ same for the identity/residual branch, added in integer domain)
         out = clamp(out) * out_scale
+
+    (See ``_requant_value`` for why the f32 ratio is a valid dyadic
+    multiplier and how this keeps sim == engine bit-identical.)
 
     Gradient: straight-through identity to both ``x`` and ``identity`` (the
     reference's ``g/out_scale`` composed with the external ``* out_scale``);
