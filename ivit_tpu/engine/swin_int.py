@@ -35,9 +35,9 @@ from ..models.swin import (SwinTransformer, attention_mask,
                            relative_position_index)
 from ..models.vit import BitWidths as _BitWidths
 from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
-                     _quant_w, _sym_scale, dyadic_multiplier,
-                     dyadic_requant_exact)
+                     _quant_w, _sym_scale, requant_const, requant_multiplier)
 from ..ops.pallas import block as pblk
+from ..ops.quant import exact_int_sum, rdiv
 from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _layernorm_int,
                       _requant, _softmax_int, _use_pallas)
 
@@ -102,10 +102,10 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     s0 = _act_scale(Q, "qact1", 16)
     p["patch"] = {
         "w": w_int, "b": b_int,
-        "m": dyadic_multiplier(conv_out_scale, s_bn),     # conv -> pre-norm
+        "m": requant_multiplier(conv_out_scale, s_bn),     # conv -> pre-norm
         "pn_bias_int": pn_bias, "pn_shift": pn_shift,
-        "m_norm": dyadic_multiplier(pn_scale, s_patch),   # norm -> qact
-        "m_x0": dyadic_multiplier(s_patch, s0),           # qact1 (16-bit)
+        "m_norm": requant_multiplier(pn_scale, s_patch),   # norm -> qact
+        "m_x0": requant_multiplier(s_patch, s0),           # qact1 (16-bit)
     }
 
     blocks: List[Dict[str, Any]] = []
@@ -127,18 +127,20 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_a1 = _act_scale(bq, "qact1", 8)
             blk["ln1_bias_int"] = ln1_bias
             blk["ln1_shift"] = ln1_shift
-            blk["m_ln1"] = dyadic_multiplier(ln1_scale, s_a1)
+            blk["m_ln1"] = requant_multiplier(ln1_scale, s_a1)
 
             aq, ap = bq["attn"], bp["attn"]
             qkv_w, qkv_b, qkv_scale = _linear(ap["qkv"], s_a1, "qkv")
             s_q = _act_scale(aq, "qact1", 8)
             blk["qkv_w"], blk["qkv_b"] = qkv_w, qkv_b
-            blk["m_qkv"] = dyadic_multiplier(qkv_scale, s_q)
+            blk["m_qkv"] = requant_multiplier(qkv_scale, s_q)
 
             head_dim = dim // heads
             s_attn1 = _act_scale(aq, "qact_attn1", 8)
-            s_scores = (np.float64(s_q) ** 2) * np.float64(head_dim ** -0.5)
-            blk["m_attn"] = dyadic_multiplier(s_scores, s_attn1)
+            # f32 op-for-op as the sim (quant_matmul s1*s1, then `s*scale`)
+            s_scores = np.float32(np.float32(s_q * s_q)
+                                  * np.float32(head_dim ** -0.5))
+            blk["m_attn"] = requant_multiplier(s_scores, s_attn1)
 
             # relative position bias: quantize table, requant onto s_attn2
             s_table = _act_scale(aq, "qact_table", 8)
@@ -148,9 +150,9 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             rel_idx = relative_position_index(ws)
             bias_int = table_int[rel_idx.reshape(-1)].reshape(n, n, heads)
             bias_int = bias_int.transpose(2, 0, 1)          # [nH, N, N]
-            blk["rel_bias_addend"] = dyadic_requant_exact(
+            blk["rel_bias_addend"] = requant_const(
                 bias_int, s_table, s_attn2).astype(np.float32)
-            blk["m_attn2"] = dyadic_multiplier(s_attn1, s_attn2)
+            blk["m_attn2"] = requant_multiplier(s_attn1, s_attn2)
             blk["s_attn"] = np.float32(s_attn2)
 
             shift = 0 if d % 2 == 0 else ws // 2
@@ -172,50 +174,54 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
                     else np.float32(1.0 / 2**7))
 
             s_a3 = _act_scale(aq, "qact3", 8)
-            blk["m_av"] = dyadic_multiplier(
-                np.float64(s_sm) * np.float64(s_q), s_a3)
+            blk["m_av"] = requant_multiplier(np.float32(s_sm * s_q), s_a3)
             proj_w, proj_b, proj_scale = _linear(ap["proj"], s_a3, "proj")
             s_a4 = _act_scale(aq, "qact4", 16)
             blk["proj_w"], blk["proj_b"] = proj_w, proj_b
-            blk["m_proj"] = dyadic_multiplier(proj_scale, s_a4)
+            blk["m_proj"] = requant_multiplier(proj_scale, s_a4)
 
             s_res1 = _act_scale(bq, "qact2", 16)
-            blk["m_res1_x"] = dyadic_multiplier(s_a4, s_res1)
-            blk["m_res1_id"] = dyadic_multiplier(s_in, s_res1)
+            blk["m_res1_x"] = requant_multiplier(s_a4, s_res1)
+            blk["m_res1_id"] = requant_multiplier(s_in, s_res1)
 
             ln2_bias, ln2_scale, ln2_shift = _ln_site(bp["norm2"], dim,
                                                       bq.get("norm2"))
             s_m1 = _act_scale(bq, "qact3", 8)
             blk["ln2_bias_int"] = ln2_bias
             blk["ln2_shift"] = ln2_shift
-            blk["m_ln2"] = dyadic_multiplier(ln2_scale, s_m1)
+            blk["m_ln2"] = requant_multiplier(ln2_scale, s_m1)
 
             mp, mq = bp["mlp"], bq["mlp"]
             fc1_w, fc1_b, fc1_scale = _linear(mp["fc1"], s_m1, "fc1")
             s_g = _act_scale(mq, "qact_gelu", 8)
             blk["fc1_w"], blk["fc1_b"] = fc1_w, fc1_b
-            blk["m_fc1"] = dyadic_multiplier(fc1_scale, s_g)
+            blk["m_fc1"] = requant_multiplier(fc1_scale, s_g)
             blk["s_gelu"] = np.float32(s_g)
             if cfg.base_type("gelu") == "ppoly":
                 gq = mq["act"]
                 blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
                 blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
             if cfg.base_type("gelu") == "ivit":
-                s_gelu_out = np.float64(s_g) / 2.0**7
+                s_gelu_out = np.float32(s_g) / np.float32(2.0**7)
             else:
+                # f32 op-for-op as ibert_gelu_int (see freeze.py)
                 from ..ops.ibert import GELU_A, GELU_K, GELU_N
-                so = (np.float64(s_g) / GELU_K) ** 2 * GELU_A * 2.0**GELU_N
-                s_gelu_out = np.float64(s_g) * so / 2
+                sk = np.float32(np.float32(s_g) / np.float32(GELU_K))
+                sig = np.float32(np.float32(np.float32(sk * sk)
+                                            * np.float32(GELU_A))
+                                 * np.float32(2.0**GELU_N))
+                s_gelu_out = np.float32(np.float32(np.float32(s_g) * sig)
+                                        / np.float32(2.0))
             s_m2 = _act_scale(mq, "qact1", 8)
-            blk["m_gelu"] = dyadic_multiplier(s_gelu_out, s_m2)
+            blk["m_gelu"] = requant_multiplier(s_gelu_out, s_m2)
             fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
             s_mlp = _act_scale(mq, "qact2", 8)
             blk["fc2_w"], blk["fc2_b"] = fc2_w, fc2_b
-            blk["m_fc2"] = dyadic_multiplier(fc2_scale, s_mlp)
+            blk["m_fc2"] = requant_multiplier(fc2_scale, s_mlp)
 
             s_out = _act_scale(bq, "qact4", 16)
-            blk["m_res2_x"] = dyadic_multiplier(s_mlp, s_out)
-            blk["m_res2_id"] = dyadic_multiplier(s_res1, s_out)
+            blk["m_res2_x"] = requant_multiplier(s_mlp, s_out)
+            blk["m_res2_id"] = requant_multiplier(s_res1, s_out)
             blocks.append(blk)
             s_in = s_out
 
@@ -229,11 +235,11 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_n = _act_scale(dq, "qact1", 8)
             mg["norm_bias_int"] = nb
             mg["norm_shift"] = nshift
-            mg["m_norm"] = dyadic_multiplier(nscale, s_n)
+            mg["m_norm"] = requant_multiplier(nscale, s_n)
             red_w, red_b, red_scale = _linear(dp["reduction"], s_n, "red")
             s_r = _act_scale(dq, "qact2", 8)
             mg["red_w"] = red_w
-            mg["m_red"] = dyadic_multiplier(red_scale, s_r)
+            mg["m_red"] = requant_multiplier(red_scale, s_r)
             blocks.append({"merge": mg})
             s_in = s_r
 
@@ -245,9 +251,9 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     s_cls = _act_scale(Q, "qact2", 8)
     p["lnf_bias_int"] = lnf_bias
     p["lnf_shift"] = lnf_shift
-    p["m_lnf"] = dyadic_multiplier(lnf_scale, s_cls)
+    p["m_lnf"] = requant_multiplier(lnf_scale, s_cls)
     s_pool = _act_scale(Q, "qact3", 8)
-    p["m_pool"] = dyadic_multiplier(s_cls, s_pool)
+    p["m_pool"] = requant_multiplier(s_cls, s_pool)
     head_w, head_b, head_scale = _linear(P["head"], s_pool, "head")
     p["head_w"], p["head_b"] = head_w, head_b
     p["head_scale"] = head_scale
@@ -269,6 +275,33 @@ def _window_reverse_i(wins, ws, h, w):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+def swin_fusion_report(cfg, pallas=None) -> dict:
+    """Execution-path report for the Swin engine (no silent slow path).
+
+    Mirrors the gates in :func:`swin_engine_forward`: the FFN half fuses into
+    ``mlp_block_p`` on lane-aligned stages; window attention runs per-op.
+    """
+    on = _use_pallas(pallas)
+    ge, ln = cfg.base_type("gelu"), cfg.base_type("ln")
+    reasons = []
+    if not on:
+        reasons.append("pallas disabled (non-TPU backend or forced off)")
+    if ge not in ("ivit", "ibert"):
+        reasons.append(f"gelu family {ge!r} has no fused kernel")
+    if ln not in ("ivit", "ibert"):
+        reasons.append(f"ln family {ln!r} has no fused kernel")
+    fuse_mlp = on and not reasons
+    dims = [cfg.embed_dim * 2**i for i in range(len(cfg.depths))]
+    stages = {f"stage{i}(dim={d})": bool(fuse_mlp and d % 128 == 0)
+              for i, d in enumerate(dims)}
+    skipped = [s for s, fused in stages.items() if not fused]
+    if fuse_mlp and skipped:
+        reasons.append("non-lane-aligned stages run unfused FFN: "
+                       + ", ".join(s for s in skipped))
+    return {"fused_mlp_stages": stages, "fused_window_attention": False,
+            "unfused_reasons": reasons}
+
+
 def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     """images f32 NHWC -> float logits; all integer inner loop.
 
@@ -284,7 +317,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     ps = cfg.patch_size
     grid = cfg.img_size // ps
 
-    x = jnp.clip(jnp.round(images / p["s_input"]), -128, 127).astype(jnp.int8)
+    x = jnp.clip(jnp.round(rdiv(images, p["s_input"])), -128, 127).astype(jnp.int8)
     x = x.reshape(B, grid, ps, grid, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, grid * grid, ps * ps * 3)
     acc = _dot_i8(x, p["patch"]["w"]) + p["patch"]["b"]
@@ -396,7 +429,10 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
 
     y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
     y = _requant(y, p["m_lnf"], 8)
-    y = jnp.round(jnp.mean(_f32(y), axis=1))
+    # exact-int avgpool, bit-mirroring the sim (models/swin.py): two-limb
+    # int32 token sum, correctly-rounded divide by N, round once
+    y = jnp.round(rdiv(exact_int_sum(jnp.swapaxes(_f32(y), 1, 2)),
+                       jnp.float32(y.shape[1])))[..., 0]
     y = _requant(y, p["m_pool"], 8)
     acc = _dot_i8(y, p["head_w"]) + p["head_b"]
     return acc.astype(jnp.float32) * p["head_scale"]

@@ -18,6 +18,8 @@ final ``logits = acc * head_scale``.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +28,7 @@ from ..ops import ivit as ivit_ops
 from ..ops.pallas import block as pblk
 from ..ops.pallas import nonlinear as pk
 from ..ops.ppoly import eval_piecewise_poly
+from ..ops.quant import exact_int_sum, exact_sq_sum, rdiv
 from .freeze import EngineSpec
 
 _DN = (((1,), (0,)), ((), ()))
@@ -35,6 +38,97 @@ def _use_pallas(pallas):
     if pallas is not None:
         return pallas
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Envelope audit (the datapath-sizing check of SURVEY §4.3; the reference's
+# analogue is the io-stats hook table consumed by scripts/analyze_io_stats.py,
+# reference quant_modules.py:20-125).  When a capture is active, every
+# integer site records its extrema together with the bound its container —
+# or the f32-exactness envelope the sim relies on — imposes.
+# ---------------------------------------------------------------------------
+
+_AUDIT = None  # type: list | None
+
+# f32 can hold every integer in (-2**24, 2**24) exactly.  GEMM accumulators
+# and integer-domain adds run as int32 in the engine but as f32 in the QAT
+# sim; their bit-equality (tests/test_engine.py) is only guaranteed while
+# the values stay inside this envelope.
+F32_EXACT = 2.0**24
+
+
+@contextlib.contextmanager
+def audit_capture():
+    """Collect per-site integer extrema during (eager) engine evaluation.
+
+    Yields a list of records ``{site, kind, min, max, lo_bound, hi_bound}``.
+    Taps live on the unfused path: run with ``pallas=False`` (the Pallas
+    kernels are bit-identical to it — tests/test_pallas.py — so its envelopes
+    are theirs).  Use without ``jax.jit`` so the extrema are concrete.
+    """
+    global _AUDIT
+    _AUDIT = records = []
+    try:
+        yield records
+    finally:
+        _AUDIT = None
+
+
+def _tap(kind, val, lo, hi, sat=False):
+    if _AUDIT is None:
+        return
+    rec = {"site": f"{kind}#{len(_AUDIT)}", "kind": kind,
+           "min": jnp.min(val).astype(jnp.float32),
+           "max": jnp.max(val).astype(jnp.float32),
+           "lo_bound": float(lo), "hi_bound": float(hi)}
+    if sat:
+        # requant sites clamp by design (QuantAct calibration maps the
+        # observed range onto the container; outliers saturate).  Record how
+        # much actually clips so the audit can bound it.
+        rec["sat_frac"] = jnp.mean(((val < lo) | (val > hi))
+                                   .astype(jnp.float32))
+    _AUDIT.append(rec)
+
+
+def audit_violations(records):
+    """Records whose extrema escape their declared bounds (empty == sized)."""
+    bad = []
+    for r in records:
+        lo, hi = float(r["min"]), float(r["max"])
+        if lo < r["lo_bound"] or hi > r["hi_bound"]:
+            bad.append({**r, "min": lo, "max": hi})
+    return bad
+
+
+def fusion_report(cfg, pallas=None) -> dict:
+    """Which execution path this config takes (VERDICT: no silent slow path).
+
+    Mirrors the gates in :func:`engine_forward` / the nonlinearity helpers;
+    ``Engine`` logs it once and ``scripts/bench_matrix.py`` records it next
+    to every throughput number.
+    """
+    on = _use_pallas(pallas)
+    sm, ge = cfg.base_type("softmax"), cfg.base_type("gelu")
+    ln = cfg.base_type("ln")
+    reasons = []
+    if not on:
+        reasons.append("pallas disabled (non-TPU backend or forced off)")
+    if sm not in ("ivit", "ibert"):
+        reasons.append(f"softmax family {sm!r} has no fused block kernel")
+    if ge not in ("ivit", "ibert"):
+        reasons.append(f"gelu family {ge!r} has no fused block kernel")
+    if ln not in ("ivit", "ibert"):
+        reasons.append(f"ln family {ln!r} has no fused block kernel")
+    if cfg.bitwidths.softmax > 8:
+        reasons.append(f"softmax_bw={cfg.bitwidths.softmax} "
+                       "(block kernels carry int8 probs)")
+    fused_blocks = on and not reasons
+    return {
+        "fused_blocks": fused_blocks,
+        "fused_softmax": fused_blocks or (on and sm == "ivit"),
+        "fused_gelu": fused_blocks or (on and ge == "ivit"),
+        "unfused_reasons": reasons,
+    }
 
 
 def _dot_i8(a_int, w_int8):
@@ -61,12 +155,21 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
+def _gemm_bias(a_int, w_int8, b_int32):
+    """Tapped int8 GEMM + int32 bias: the sim computes this same value in
+    f32, so bit-equality requires it inside the f32-exact envelope."""
+    acc = _dot_i8(a_int, w_int8) + b_int32
+    _tap("gemm_acc", acc, -F32_EXACT, F32_EXACT)
+    return acc
+
+
 def _requant(acc, m, bits, addend=None):
     """round(acc * m) (+ addend) clamped + stored in the `bits` container."""
     n = 2 ** (bits - 1) - 1
     y = jnp.round(_f32(acc) * m)
     if addend is not None:
         y = y + addend
+    _tap(f"requant{bits}", y, -n - 1, n, sat=True)
     return jnp.clip(y, -n - 1, n).astype(_container(bits))
 
 
@@ -85,10 +188,10 @@ def _softmax_int(cfg, blk, scores_int, pallas=None):
         exp_int, _ = ibert_ops.ibert_softmax_exp_int(_f32(scores_int),
                                                      blk["s_attn"])
         # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311)
-        from ..ops.quant import rdiv
         exp16 = jnp.clip(jnp.round(rdiv(exp_int, blk["s_exp_act"])),
                          -(2.0**15), 2.0**15 - 1)
-        exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
+        exp_sum = exact_int_sum(exp16)
+        _tap("exp_sum", exp_sum, 1.0, 2.0**31 - 1)
         factor = jnp.floor(rdiv(2.0**32, exp_sum))
         return jnp.floor(exp16 * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "ppoly":
@@ -102,7 +205,7 @@ def _softmax_int(cfg, blk, scores_int, pallas=None):
                                 blk["sm_coeffs"]), 0, None)
         exp_int = jnp.floor(exp_int / 2 ** (30 - exp_bits + 1))
         exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, None)
-        factor = jnp.floor(2.0**32 / exp_sum)
+        factor = jnp.floor(rdiv(2.0**32, exp_sum))
         return jnp.floor(exp_int * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "float":
         probs = jax.nn.softmax(_f32(scores_int) * blk["s_attn"], axis=-1)
@@ -140,10 +243,10 @@ def _gelu_int(cfg, blk, x_int):
         # folded into m_gelu at freeze; convert to the backend's int domain
         from ..ops.ibert import GELU_A, GELU_K, GELU_N
         s = blk["s_gelu"]
-        so = (s / GELU_K) ** 2 * GELU_A * 2.0**GELU_N
+        so = rdiv(s, GELU_K) ** 2 * GELU_A * 2.0**GELU_N
         s_out = s * so / 2
-        y = y_int / 2.0**scale_bits          # float value
-        return jnp.floor(y / s_out)          # ints on the composite grid
+        y = y_int / 2.0**scale_bits          # float value (exact /2**k)
+        return jnp.floor(rdiv(y, s_out))     # ints on the composite grid
     if base == "float":
         y = jax.nn.gelu(x_int * blk["s_gelu"], approximate=False)
         qmax = 2 ** 7 - 1
@@ -155,11 +258,18 @@ def _layernorm_int(cfg, x_int, bias_int, shift):
     base = cfg.base_type("ln")
     x_int = _f32(x_int)
     if base == "ivit":
-        mean_int = jnp.round(jnp.mean(x_int, axis=-1, keepdims=True))
+        # rdiv mean + factor, mirroring the sim's i_layernorm_int op-for-op
+        # (ops/ivit.py) so sim and engine stay bit-identical in every
+        # compilation context
+        mean_int = jnp.round(rdiv(exact_int_sum(x_int),
+                                  jnp.float32(x_int.shape[-1])))
         y_int = x_int - mean_int
-        var_int = jnp.sum(y_int * y_int, axis=-1, keepdims=True)
+        # two-limb variance is exact iff C * (|y|/2**8)**2 < 2**31
+        y_bound = 2.0**8 * (2.0**31 / x_int.shape[-1]) ** 0.5
+        _tap("ln_centered", y_int, -y_bound, y_bound)
+        var_int = exact_sq_sum(y_int)
         std_int = ivit_ops.int_newton_sqrt(var_int)
-        factor = jnp.floor(ivit_ops.INT32_MAX / std_int)
+        factor = jnp.floor(rdiv(ivit_ops.INT32_MAX, std_int))
         return jnp.floor(y_int * factor / 2) + bias_int
     if base == "float":
         raise ValueError(
@@ -202,12 +312,12 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
     # input quantization (SymmetricQuantFunction on the raw image)
-    x = jnp.clip(jnp.round(images / p["s_input"]), -128, 127).astype(jnp.int8)
+    x = jnp.clip(jnp.round(rdiv(images, p["s_input"])), -128, 127).astype(jnp.int8)
 
     # patch embedding as one int8 GEMM over extracted patches
     x = x.reshape(B, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, ps * ps * 3)
-    acc = _dot_i8(x, p["patch"]["w"]) + p["patch"]["b"]
+    acc = _gemm_bias(x, p["patch"]["w"], p["patch"]["b"])
     x = _requant(acc, p["patch"]["m"], bw.patch_embed)          # i8 [B,196,C]
 
     # cls concat (shares patch scale) + positional add at s_block0
@@ -219,8 +329,10 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                  ).astype(_container(bw.block_input))
 
     def _residual_requant(y, my, xr, mx, bits):
-        out = jnp.clip(jnp.round(_f32(y) * my) + jnp.round(_f32(xr) * mx),
-                       -(2.0 ** (bits - 1)), 2.0 ** (bits - 1) - 1)
+        raw = jnp.round(_f32(y) * my) + jnp.round(_f32(xr) * mx)
+        _tap(f"residual{bits}", raw,
+             -(2.0 ** (bits - 1)), 2.0 ** (bits - 1) - 1, sat=True)
+        out = jnp.clip(raw, -(2.0 ** (bits - 1)), 2.0 ** (bits - 1) - 1)
         return out.astype(_container(bits))
 
     if use_blocks:
@@ -256,14 +368,14 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _requant(y, p["m_lnf"], 8)
-        acc = _dot_i8(y[:, 0], p["head_w"]) + p["head_b"]
+        acc = _gemm_bias(y[:, 0], p["head_w"], p["head_b"])
         return acc.astype(jnp.float32) * p["head_scale"]
 
     for blk in p["blocks"]:
         # --- attention half ---
         y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
         y = _requant(y, blk["m_ln1"], 8)
-        acc = _dot_i8(y, blk["qkv_w"]) + blk["qkv_b"]
+        acc = _gemm_bias(y, blk["qkv_w"], blk["qkv_b"])
         y = _requant(acc, blk["m_qkv"], 8)                       # i8 [B,N,3C]
 
         # transpose-free attention: slice heads, contract via dot_general
@@ -272,6 +384,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         scores = jax.lax.dot_general(
             q_, k_, (((3,), (3,)), ((0, 2), (0, 2))),
             preferred_element_type=jnp.int32)                    # [B,H,N,N]
+        _tap("gemm_acc", scores, -F32_EXACT, F32_EXACT)
         scores = _requant(scores, blk["m_attn"], 8)
 
         probs = _softmax_int(cfg, blk, scores, pallas=pallas)    # intN >=0
@@ -281,12 +394,14 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         ctx = jax.lax.dot_general(
             probs, v_, (((3,), (1,)), ((0, 1), (0, 2))),
             preferred_element_type=jnp.int32)                    # [B,H,Nq,Dh]
+        _tap("gemm_acc", ctx, -F32_EXACT, F32_EXACT)
         y = _requant(ctx, blk["m_av"], 8)                        # i8 [B,H,N,Dh]
         # proj contracts (H, Dh) jointly -> no transpose back
         proj_w3 = blk["proj_w"].reshape(H, Dh, C)
         acc = jax.lax.dot_general(
             y, proj_w3, (((1, 3), (0, 1)), ((), ())),
             preferred_element_type=jnp.int32) + blk["proj_b"]    # [B,N,C]
+        _tap("gemm_acc", acc, -F32_EXACT, F32_EXACT)
         y = _requant(acc, blk["m_proj"], bw.attention_out)
 
         # residual add #1 (integer-domain dual requant)
@@ -296,21 +411,23 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         # --- MLP half ---
         y = _layernorm_int(cfg, x, blk["ln2_bias_int"], blk["ln2_shift"])
         y = _requant(y, blk["m_ln2"], 8)
-        acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
+        acc = _gemm_bias(y, blk["fc1_w"], blk["fc1_b"])
         y = _requant(acc, blk["m_fc1"], 8)
         y = _gelu_requant_int(cfg, blk, y, 8, pallas=pallas)
-        acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
+        acc = _gemm_bias(y, blk["fc2_w"], blk["fc2_b"])
         y = _requant(acc, blk["m_fc2"], bw.mlp_out)
 
         # residual add #2
         x = _residual_requant(y, blk["m_res2_x"], x, blk["m_res2_id"],
                               bw.att_block_out)
 
-    # final norm -> cls token -> head
-    y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
-    y = _requant(y, p["m_lnf"], 8)
-    y = y[:, 0]
-    acc = _dot_i8(y, p["head_w"]) + p["head_b"]
+    # final norm -> cls token -> head.  Only the cls token feeds the head
+    # (the sim slices x[:, 0] before its final QuantAct, vit.py:292), so the
+    # engine norms/requants just that row — the final scale was calibrated on
+    # cls alone and the other 196 rows would both waste compute and saturate.
+    y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
+    y = _requant(y, p["m_lnf"], 8)[:, 0]
+    acc = _gemm_bias(y, p["head_w"], p["head_b"])
     return acc.astype(jnp.float32) * p["head_scale"]
 
 
@@ -319,6 +436,14 @@ class Engine:
 
     def __init__(self, spec: EngineSpec, pallas=None):
         self.spec = spec
+        self.fusion = fusion_report(spec.config, pallas)
+        import logging
+        log = logging.getLogger("ivit_tpu.engine")
+        if self.fusion["fused_blocks"]:
+            log.info("engine path: fused Pallas block kernels")
+        else:
+            log.warning("engine path: UNFUSED per-op graph (%s)",
+                        "; ".join(self.fusion["unfused_reasons"]))
         self._jitted = jax.jit(lambda params, images: engine_forward(
             EngineSpec(self.spec.config, params), images, pallas=pallas))
 

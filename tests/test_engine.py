@@ -76,16 +76,46 @@ def test_engine_weights_are_int8(rng):
     assert spec.params["head_w"].dtype == jnp.int8
 
 
-def test_engine_activation_envelope(rng):
-    """All requantized activations stay in their declared bit envelopes."""
-    model, variables = build_calibrated(rng)
+@pytest.mark.parametrize("gelu,softmax,ln", FAMILIES[:2])
+def test_engine_activation_envelope(rng, gelu, softmax, ln):
+    """Datapath-sizing audit (SURVEY §4.3; ref scripts/analyze_io_stats.py):
+    on a calibrated model, every integer site must stay inside its declared
+    container / exactness envelope:
+
+    * GEMM accumulators (+bias) within the f32-exact range 2**24 — the
+      precondition for the sim's f32 matmul being bit-equal to the engine's
+      int32 accumulation;
+    * LN centered values within the two-limb variance exactness bound;
+    * exp sums within int32;
+    * requant/residual sites: pre-clip values may saturate (QuantAct clamps
+      outliers by design) but only a bounded fraction of elements may clip.
+    """
+    from ivit_tpu.engine.vit_int import (audit_capture, audit_violations,
+                                         engine_forward)
+
+    model, variables = build_calibrated(rng, gelu=gelu, softmax=softmax,
+                                        ln=ln)
     spec = freeze_model(model, variables)
-    # hook: run the engine graph stepwise via engine_forward on traced checks
-    # (cheap proxy: outputs finite and logits bounded)
-    eng = Engine(spec)
-    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
-    y = np.asarray(eng(x))
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+    with audit_capture() as records:
+        y = np.asarray(engine_forward(spec, x, pallas=False))
     assert np.isfinite(y).all()
+    assert len(records) > 20           # taps actually fired
+
+    hard = [r for r in records if "sat_frac" not in r]
+    assert any(r["kind"] == "gemm_acc" for r in hard)
+    bad = audit_violations(hard)
+    assert not bad, bad
+
+    # QuantAct's EMA (momentum 0.95) deliberately shrinks ranges below the
+    # observed max, so a few percent of elements clipping is the calibrated
+    # steady state (the reference behaves identically); a broken scale graph
+    # saturates tens of percent.
+    for r in records:
+        if "sat_frac" in r:
+            assert float(r["sat_frac"]) <= 0.05, \
+                (r["site"], float(r["sat_frac"]), float(r["min"]),
+                 float(r["max"]), r["lo_bound"], r["hi_bound"])
 
 
 def test_engine_16bit_softmax_config(rng):
