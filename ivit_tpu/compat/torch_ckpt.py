@@ -68,6 +68,13 @@ def convert_state_dict(state: Dict[str, np.ndarray]):
         # blocks.N.rest -> blocks_N.rest
         if parts[0] == "blocks" and len(parts) > 1 and parts[1].isdigit():
             parts = [f"blocks_{parts[1]}"] + parts[2:]
+        # swin: layers.N.blocks.M. -> layers_N_blocks_M.,
+        #       layers.N.downsample. -> layers_N_downsample.
+        elif parts[0] == "layers" and len(parts) > 2 and parts[1].isdigit():
+            if parts[2] == "blocks" and len(parts) > 3 and parts[3].isdigit():
+                parts = [f"layers_{parts[1]}_blocks_{parts[3]}"] + parts[4:]
+            elif parts[2] == "downsample":
+                parts = [f"layers_{parts[1]}_downsample"] + parts[3:]
         leaf = parts[-1]
         value = np.asarray(value)
 

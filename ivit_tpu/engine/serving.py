@@ -109,6 +109,8 @@ class ServingEngine:
 
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one [H, W, 3] float32 image; resolves to logits [C]."""
+        if self._stop.is_set():
+            raise RuntimeError("ServingEngine closed")
         if image.shape != self._img_shape:
             raise ValueError(f"expected {self._img_shape}, got {image.shape}")
         fut: Future = Future()
@@ -121,8 +123,25 @@ class ServingEngine:
         return np.stack([f.result() for f in futs])
 
     def close(self):
+        """Stop the batcher; no future is left unresolved.
+
+        In-flight batches are drained by the batcher loop itself; anything
+        still sitting unbatched in the queue (and anything submitted after
+        shutdown) is cancelled so blocked ``Future.result()`` calls raise
+        instead of hanging forever.
+        """
         self._stop.set()
         self._batcher.join(timeout=5)
+        self._drain_queue(RuntimeError("ServingEngine closed"))
+
+    def _drain_queue(self, exc: BaseException):
+        while True:
+            try:
+                _, fut, _ = self._queue.get_nowait()
+            except queue_mod.Empty:
+                return
+            if not fut.cancel():
+                fut.set_exception(exc)
 
     def __enter__(self):
         return self
@@ -153,25 +172,41 @@ class ServingEngine:
 
     def _run(self):
         pending: list = []
-        while not self._stop.is_set():
-            items = self._collect()
-            if items is None:
-                while pending:
+        try:
+            while not self._stop.is_set():
+                items = self._collect()
+                if items is None:
+                    while pending:
+                        self._resolve(*pending.pop(0))
+                    continue
+                try:
+                    n = len(items)
+                    batch = np.zeros((self.batch_size,) + self._img_shape,
+                                     np.float32)
+                    for i, (im, _, _) in enumerate(items):
+                        batch[i] = im
+                    x = jnp.asarray(batch)
+                    if self._batch_sharding is not None:
+                        x = jax.device_put(x, self._batch_sharding)
+                    out = self._fwd(self._params, x)   # async dispatch
+                except BaseException as exc:
+                    for _, fut, _ in items:        # fail this batch, keep serving
+                        fut.set_exception(exc)
+                    continue
+                pending.append((out, items, n))
+                while len(pending) >= self.inflight:
                     self._resolve(*pending.pop(0))
-                continue
-            n = len(items)
-            batch = np.zeros((self.batch_size,) + self._img_shape, np.float32)
-            for i, (im, _, _) in enumerate(items):
-                batch[i] = im
-            x = jnp.asarray(batch)
-            if self._batch_sharding is not None:
-                x = jax.device_put(x, self._batch_sharding)
-            out = self._fwd(self._params, x)   # async dispatch
-            pending.append((out, items, n))
-            while len(pending) >= self.inflight:
+            while pending:
                 self._resolve(*pending.pop(0))
-        while pending:
-            self._resolve(*pending.pop(0))
+        except BaseException as exc:
+            # batcher died: propagate to every stranded future, in-flight
+            # and queued, so no client blocks forever
+            for _, items, _ in pending:
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            self._drain_queue(exc)
+            raise
 
     def _resolve(self, out, items, n):
         logits = np.asarray(out)               # blocks until device done

@@ -57,6 +57,55 @@ def test_serving_rejects_bad_shape(rng):
             srv.submit(np.zeros((32, 32, 3), np.float32))
 
 
+def test_serving_close_resolves_stranded_futures(rng):
+    """Shutdown must not strand clients: queued-but-unbatched requests are
+    cancelled/failed, and submits after close raise immediately."""
+    from ivit_tpu.engine.serving import ServingEngine
+
+    spec = build_engine(rng)
+    srv = ServingEngine(spec, batch_size=4, max_wait_ms=1, pallas=False)
+    # stop the batcher first so freshly queued requests can never be batched
+    srv._stop.set()
+    srv._batcher.join(timeout=30)
+    futs = []
+    for _ in range(3):
+        fut_img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        fut = __import__("concurrent.futures", fromlist=["Future"]).Future()
+        srv._queue.put((fut_img, fut, 0.0))
+        futs.append(fut)
+    srv.close()
+    for fut in futs:
+        assert fut.done()
+        if not fut.cancelled():
+            with pytest.raises(RuntimeError):
+                fut.result(timeout=0)
+    with pytest.raises(RuntimeError):
+        srv.submit(rng.normal(size=(64, 64, 3)).astype(np.float32))
+
+
+def test_serving_batcher_exception_fails_batch(rng):
+    """A failing forward propagates to that batch's futures; the server
+    keeps serving subsequent requests."""
+    from ivit_tpu.engine.serving import ServingEngine
+
+    spec = build_engine(rng)
+    with ServingEngine(spec, batch_size=2, max_wait_ms=1,
+                       pallas=False) as srv:
+        good_fwd = srv._fwd
+
+        def bad_fwd(p, x):
+            raise RuntimeError("injected device failure")
+
+        srv._fwd = bad_fwd
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        fut = srv.submit(img)
+        with pytest.raises(RuntimeError, match="injected"):
+            fut.result(timeout=120)
+        srv._fwd = good_fwd
+        out = srv.submit(img).result(timeout=120)
+        assert np.isfinite(out).all()
+
+
 def test_serving_multidevice_mesh(rng):
     """Data-parallel serving over the 8-device CPU mesh."""
     from ivit_tpu.engine.serving import ServingEngine

@@ -117,6 +117,84 @@ def test_reference_checkpoint_roundtrip(tmp_path, types, rng):
     assert rel < 0.2, rel
 
 
+def _healthy_jax_init(variables, rng):
+    """Re-scale our init like ``_healthy_init`` does for the reference."""
+    import jax.numpy as jnp
+
+    def walk(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel" in v and not isinstance(v["kernel"], dict):
+                    kern = np.asarray(v["kernel"])
+                    fan_in = int(np.prod(kern.shape[:-1]))
+                    v["kernel"] = jnp.asarray(rng.normal(
+                        0, 1.2 / fan_in**0.5, kern.shape).astype(np.float32))
+                    if "bias" in v:
+                        v["bias"] = jnp.asarray(rng.normal(
+                            0, 0.02, np.shape(v["bias"])).astype(np.float32))
+                else:
+                    walk(v)
+    params = jax.device_get(variables["params"])
+    walk(params)
+    for name in ("cls_token", "pos_embed"):
+        params[name] = jnp.asarray(rng.normal(
+            0, 0.5, np.shape(params[name])).astype(np.float32))
+    return {"params": jax.tree.map(jnp.asarray, params),
+            "quant_stats": variables["quant_stats"]}
+
+
+@pytest.mark.parametrize("types", [
+    ("ivit", "ivit", "ivit"),
+    ("ibert", "ibert", "ibert"),
+])
+def test_export_strict_loads_into_reference(tmp_path, types, rng):
+    """Our export must satisfy the reference's strict ``load_state_dict``
+    (quant_train.py:412) — every registered buffer present, nothing extra —
+    and the loaded reference model must reproduce our sim's logits."""
+    from ivit_tpu.compat.export_torch import save_reference_checkpoint
+    from ivit_tpu.models import str2model
+
+    model = str2model("deit_tiny_patch16_224")(
+        gelu_type=types[0], softmax_type=types[1], layernorm_type=types[2])
+    x0 = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x0, running_stat=True)
+    variables = _healthy_jax_init(variables, rng)
+    qs = variables["quant_stats"]
+    for _ in range(2):
+        xb = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+        _, st = model.apply({"params": variables["params"], "quant_stats": qs},
+                            xb, running_stat=True, mutable=["quant_stats"])
+        qs = st["quant_stats"]
+    variables = {"params": variables["params"], "quant_stats": qs}
+
+    cfg = {"model": "deit_tiny_patch16_224", "gelu_type": types[0],
+           "softmax_type": types[1], "layernorm_type": types[2]}
+    path = tmp_path / "ours_as_ref.pth.tar"
+    save_reference_checkpoint(variables, cfg, str(path))
+
+    ref = ref_deit_tiny(pretrained=False, gelu_type=types[0],
+                        softmax_type=types[1], layernorm_type=types[2])
+    sd = torch.load(str(path), weights_only=False)["model"]
+    ref.load_state_dict(sd, strict=True)   # raises on missing/unexpected
+    ref_freeze(ref)
+    ref.eval()
+
+    x_eval = rng.normal(size=(4, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref(torch.from_numpy(
+            x_eval.transpose(0, 3, 1, 2))).numpy()
+    logits_sim = np.asarray(model.apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(x_eval),
+        running_stat=False))
+    assert (logits_sim.argmax(-1) == logits_ref.argmax(-1)).all()
+    scale = np.abs(logits_ref).max()
+    rel = np.abs(logits_sim - logits_ref).max() / scale
+    # same floor-tie noise floor as test_reference_checkpoint_roundtrip
+    # (+-1 int per nonlinearity compounding over 12 blocks); random-init
+    # weights tie slightly more often than trained ones.
+    assert rel < 0.25, rel
+
+
 def test_export_roundtrip(tmp_path, rng):
     """Our variables -> reference-schema .pth.tar -> ingested back: equal."""
     import jax.numpy as jnp
@@ -149,4 +227,42 @@ def test_export_roundtrip(tmp_path, rng):
     sd = _t.load(str(path), weights_only=False)["model"]
     assert any(k.endswith("weight_integer") for k in sd)
     assert any(k.endswith("fc_scaling_factor") for k in sd)
+    assert any(k.endswith("bias_integer") for k in sd)
     assert "blocks.0.attn.qkv.weight" in sd
+
+
+def test_swin_export_roundtrip(tmp_path, rng):
+    """Swin: export to reference-style names (layers.N.blocks.M.) and ingest
+    back through convert_state_dict's inverse mapping — outputs equal."""
+    import jax.numpy as jnp
+
+    from ivit_tpu.compat.export_torch import save_reference_checkpoint
+    from ivit_tpu.compat.torch_ckpt import load_into_model
+
+    sys.path.insert(0, "tests")
+    from test_swin import tiny_swin
+
+    model = tiny_swin(gelu_type="ivit", softmax_type="ivit",
+                      layernorm_type="ivit")
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, running_stat=True)
+    _, st = model.apply(variables, x, running_stat=True,
+                        mutable=["quant_stats"])
+    variables = {"params": variables["params"],
+                 "quant_stats": st["quant_stats"]}
+
+    path = tmp_path / "swin.pth.tar"
+    save_reference_checkpoint(variables, {"model": "swin"}, str(path))
+
+    import torch as _t
+    sd = _t.load(str(path), weights_only=False)["model"]
+    assert any(k.startswith("layers.0.blocks.1.") for k in sd)
+    assert any(k.startswith("layers.0.downsample.") for k in sd)
+
+    reloaded, report = load_into_model(model, str(path), x[:1], strict=True)
+    assert not report["missing"], report["missing"][:5]
+    y0 = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables), x,
+                                running_stat=False))
+    y1 = np.asarray(model.apply(jax.tree.map(jnp.asarray, reloaded), x,
+                                running_stat=False))
+    np.testing.assert_allclose(y1, y0, atol=1e-6)
