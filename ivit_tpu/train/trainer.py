@@ -107,9 +107,36 @@ def build_model(cfg: TrainConfig):
         img_size=cfg.img_size, num_classes=cfg.num_classes)
 
 
+# Parameter names timm's ViT/Swin `no_weight_decay()` exempts (in addition
+# to every 1-d tensor): learned embeddings and the Swin rel-pos table.
+_NO_DECAY_NAMES = ("cls_token", "pos_embed", "relative_position_bias_table")
+
+
+def weight_decay_mask(params) -> Any:
+    """True where AdamW should apply weight decay.
+
+    Mirrors timm's ``create_optimizer`` parameter groups (the reference
+    builds its optimizer through it, quant_train.py:392): decay only
+    multi-dimensional kernels — never biases, norm scales (any 1-d leaf),
+    nor the named embedding tables — so quant-stat-adjacent and norm
+    parameters aren't pulled toward zero.
+    """
+    def decide(path, leaf):
+        names = {getattr(k, "key", getattr(k, "name", "")) for k in path}
+        if names & set(_NO_DECAY_NAMES):
+            return False
+        return jnp.ndim(leaf) > 1
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def build_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     """AdamW + cosine decay to lr/15 with linear warmup + optional clip,
-    wrapped in MultiSteps for gradient accumulation (ref :581-587,616-631)."""
+    wrapped in MultiSteps for gradient accumulation (ref :581-587,616-631).
+
+    Weight decay is masked per timm's parameter groups (ref :392); see
+    :func:`weight_decay_mask`.
+    """
     accum = max(1, (cfg.eff_batch_size or cfg.batch_size) // cfg.batch_size)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=cfg.warmup_lr if cfg.warmup_epochs else cfg.lr,
@@ -120,7 +147,8 @@ def build_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     chain = []
     if cfg.clip_grad:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
-    chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay,
+                             mask=weight_decay_mask))
     tx = optax.chain(*chain)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)

@@ -87,3 +87,78 @@ def test_trainer_on_mesh(tmp_path, rng):
     best = tr.fit()
     assert 0.0 <= best <= 1.0
     assert tr.mesh is not None
+
+
+def test_weight_decay_mask(rng):
+    """timm create_optimizer parity (ref quant_train.py:392): decay applies
+    only to multi-dim kernels — never biases, norm weights (1-d leaves),
+    cls_token, pos_embed, or the Swin relative_position_bias_table."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivit_tpu.models import str2model
+    from ivit_tpu.train.trainer import weight_decay_mask
+
+    model = str2model("deit_tiny_patch16_224")(num_classes=10)
+    x0 = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    params = jax.jit(lambda a: model.init(
+        jax.random.PRNGKey(0), a, running_stat=True))(x0)["params"]
+    mask = weight_decay_mask(params)
+
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_m = jax.tree_util.tree_leaves(mask)
+    assert len(flat_p) == len(flat_m)
+    n_decay = 0
+    for (path, leaf), decay in zip(flat_p, flat_m):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if "cls_token" in names or "pos_embed" in names:
+            assert not decay, names
+        elif names[-1] == "bias" or jnp.ndim(leaf) <= 1:
+            assert not decay, names
+        elif names[-1] == "kernel":
+            assert decay, names
+            n_decay += 1
+    assert n_decay >= 4 * 12  # every block's qkv/proj/fc1/fc2 kernels
+
+    # swin: the rel-pos table is 2-d but must not decay
+    swin = str2model("swin_tiny_patch4_window7_224")(
+        num_classes=10, drop_path_rate=0.0)
+    sp = jax.jit(lambda a: swin.init(
+        jax.random.PRNGKey(0), a, running_stat=True))(x0)["params"]
+    smask = weight_decay_mask(sp)
+    hits = [m for (path, leaf), m in zip(
+        jax.tree_util.tree_flatten_with_path(sp)[0],
+        jax.tree_util.tree_leaves(smask))
+        if any("relative_position_bias_table" ==
+               getattr(k, "key", getattr(k, "name", "")) for k in path)]
+    assert hits and not any(hits)
+
+
+def test_optimizer_decay_masks_applied(tmp_path):
+    """With huge weight_decay and zero grads, masked leaves must not move."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ivit_tpu.models import str2model
+    from ivit_tpu.train.trainer import TrainConfig, build_optimizer
+
+    cfg = TrainConfig(model="deit_tiny_patch16_224", weight_decay=1.0,
+                      lr=1e-2, epochs=1, num_classes=10)
+    tx, _, _ = build_optimizer(cfg, steps_per_epoch=10)
+    model = str2model(cfg.model)(num_classes=10)
+    x0 = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    params = jax.jit(lambda a: model.init(
+        jax.random.PRNGKey(0), a, running_stat=True))(x0)["params"]
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    upd = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, u in upd:
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        moved = float(jnp.abs(u).max())
+        if ("cls_token" in names or "pos_embed" in names
+                or names[-1] == "bias" or jnp.ndim(u) <= 1):
+            assert moved == 0.0, names
+        elif names[-1] == "kernel":
+            assert moved > 0.0, names
