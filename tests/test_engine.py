@@ -46,13 +46,10 @@ def test_engine_matches_sim(rng, gelu, softmax, ln):
     eng_logits = np.asarray(eng(x))
 
     assert eng_logits.shape == sim_logits.shape
-    # after int-core input snapping the two paths are bit-identical except
-    # for float accumulation noise in the final head scale multiply
-    scale = np.abs(sim_logits).max()
-    err = np.abs(eng_logits - sim_logits).max()
-    assert err < 1e-5 * scale + 1e-6, (err, scale)
-    # ranking must be preserved
-    assert (eng_logits.argmax(-1) == sim_logits.argmax(-1)).all()
+    # Bit-exact: exact-int matmul operand snapping + correctly-rounded
+    # rdiv/exact_fma/two-limb sums make the QAT sim and the integer engine
+    # agree to the last bit in every compilation context (ops/quant.py).
+    np.testing.assert_array_equal(eng_logits, sim_logits)
 
 
 def test_engine_deterministic(rng):

@@ -45,16 +45,11 @@ def test_swin_engine_matches_sim(rng, fam):
         eng_p = np.asarray(swin_engine_forward(spec, x, pallas=True))
     finally:
         ppkg.FORCE_INTERPRET = False
-    # 16-bit LN variances exceed f32 integer exactness: reduction order
-    # (XLA vs Mosaic vs torch int64) sets the low bits — see swin_int.py.
-    # With random weights the logits are near-zero, so compare on absolute
-    # terms (a few head-grid steps) plus output correlation.
-    assert np.abs(eng - sim).max() < 2e-3, np.abs(eng - sim).max()
-    assert np.abs(eng_p - eng).max() < 2e-3, np.abs(eng_p - eng).max()
-    for got in (eng, eng_p):
-        corr = np.corrcoef(got.ravel(), sim.ravel())[0, 1]
-        assert corr > 0.999, corr
-    assert (eng.argmax(-1) == sim.argmax(-1)).all()
+    # Bit-exact: the two-limb exact variance/sum reductions (ops/quant.py)
+    # removed the 16-bit LN reduction-order nondeterminism that used to cap
+    # this at ~1e-3; sim, engine, and kernels now agree to the last bit.
+    np.testing.assert_array_equal(eng, sim)
+    np.testing.assert_array_equal(eng_p, eng)
 
 
 def test_swin_engine_weights_int8(rng):
