@@ -182,6 +182,7 @@ def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
                           out_bits=out_bits),
+        name="mlp_block_kernel",
         out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
         grid=grid,
         in_specs=[
@@ -247,9 +248,9 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
 
 
 def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
-                 wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref, ctx_ref, *,
-                 ln_base, sm_base, num_heads, n_valid, sm_bit, out_bits,
-                 attn_bits):
+                 wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref, ctx_ref,
+                 scores_ref, *, ln_base, sm_base, num_heads, n_valid, sm_bit,
+                 out_bits, attn_bits):
     t, np_, c = x_ref.shape
     dh = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
@@ -272,27 +273,39 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
     acc = acc + bqkv_ref[...]
     qkv = _requant(acc.astype(jnp.float32), mqkv_ref[...], 8).astype(jnp.int8)
 
-    lim_a = 2.0 ** (attn_bits - 1)
+    # per-(image, head) score GEMMs land in one scratch so the requant +
+    # softmax VPU chain (the exp tower dominates the elementwise cost) runs
+    # ONCE over [t*H*Np, Np] instead of t*H times over [Np, Np] — shiftmax
+    # is row-local, so the batched evaluation is bit-identical.
     for ti in range(t):
         rows = slice(ti * np_, (ti + 1) * np_)
         for h in range(num_heads):
             q_h = qkv[rows, h * dh:(h + 1) * dh]
             k_h = qkv[rows, c + h * dh:c + (h + 1) * dh]
-            v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
-            scores = jax.lax.dot_general(
+            srows = slice((ti * num_heads + h) * np_,
+                          (ti * num_heads + h + 1) * np_)
+            scores_ref[srows, :] = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)           # [Np, Np]
-            scores = jnp.clip(jnp.round(scores.astype(jnp.float32) * m_attn),
-                              -lim_a, lim_a - 1)
-            if sm_base == "ivit":
-                probs = _shiftmax(scores, s_attn, sm_bit,
-                                  n_valid).astype(jnp.int8)
-            else:
-                probs = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit,
-                                       n_valid).astype(jnp.int8)
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    lim_a = 2.0 ** (attn_bits - 1)
+    scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
+    if sm_base == "ivit":
+        probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid)
+    else:
+        probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid)
+    scores_ref[...] = probs_all
+
+    for ti in range(t):
+        rows = slice(ti * np_, (ti + 1) * np_)
+        for h in range(num_heads):
+            v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
+            srows = slice((ti * num_heads + h) * np_,
+                          (ti * num_heads + h + 1) * np_)
             ctx_h = jax.lax.dot_general(
-                probs, v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)           # [Np, Dh]
+                scores_ref[srows, :].astype(jnp.int8), v_h,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [Np, Dh]
             ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
                 ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
 
@@ -340,6 +353,7 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                           num_heads=num_heads,
                           n_valid=n_valid, sm_bit=sm_bit, out_bits=out_bits,
                           attn_bits=attn_bits),
+        name="attn_block_kernel",
         out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
         grid=grid,
         in_specs=[
@@ -357,7 +371,8 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         ],
         out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8),
+                        pltpu.VMEM((t * num_heads * np_, np_), jnp.float32)],
         interpret=_interp(interpret),
     )(x_int,
       ln_bias.astype(jnp.float32).reshape(1, c),

@@ -167,6 +167,7 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
     out = pl.pallas_call(
         functools.partial(_shiftmax_kernel, output_bit=output_bit,
                           n_valid=n_valid),
+        name="shiftmax_kernel",
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int8),
         grid=grid,
         in_specs=[
@@ -224,6 +225,7 @@ def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
     out = pl.pallas_call(
         functools.partial(_shift_gelu_kernel, output_bit=output_bit, n=n,
                           out_bits=out_bits),
+        name="shift_gelu_kernel",
         out_shape=jax.ShapeDtypeStruct((rows, h), jnp.int8),
         grid=grid,
         in_specs=[
