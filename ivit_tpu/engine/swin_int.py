@@ -278,11 +278,13 @@ def _window_reverse_i(wins, ws, h, w):
 def swin_fusion_report(cfg, pallas=None) -> dict:
     """Execution-path report for the Swin engine (no silent slow path).
 
-    Mirrors the gates in :func:`swin_engine_forward`: the FFN half fuses into
-    ``mlp_block_p`` on lane-aligned stages; window attention runs per-op.
+    Mirrors the gates in :func:`swin_engine_forward`: window attention fuses
+    into ``swin_attn_block_p`` (ivit/ibert softmax+ln, int8 probs); the FFN
+    half fuses into ``mlp_block_p`` on lane-aligned stages.
     """
     on = _use_pallas(pallas)
     ge, ln = cfg.base_type("gelu"), cfg.base_type("ln")
+    sm = cfg.base_type("softmax")
     reasons = []
     if not on:
         reasons.append("pallas disabled (non-TPU backend or forced off)")
@@ -291,6 +293,13 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     if ln not in ("ivit", "ibert"):
         reasons.append(f"ln family {ln!r} has no fused kernel")
     fuse_mlp = on and not reasons
+    attn_reasons = []
+    if sm not in ("ivit", "ibert"):
+        attn_reasons.append(f"softmax family {sm!r} has no fused kernel")
+    if cfg.bitwidths.softmax > 8:
+        attn_reasons.append(f"softmax_bw={cfg.bitwidths.softmax} "
+                            "(fused kernel carries int8 probs)")
+    fuse_attn = (on and ln in ("ivit", "ibert") and not attn_reasons)
     dims = [cfg.embed_dim * 2**i for i in range(len(cfg.depths))]
     stages = {f"stage{i}(dim={d})": bool(fuse_mlp and d % 128 == 0)
               for i, d in enumerate(dims)}
@@ -298,21 +307,76 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     if fuse_mlp and skipped:
         reasons.append("non-lane-aligned stages run unfused FFN: "
                        + ", ".join(s for s in skipped))
-    return {"fused_mlp_stages": stages, "fused_window_attention": False,
-            "unfused_reasons": reasons}
+    return {"fused_mlp_stages": stages,
+            "fused_window_attention": fuse_attn,
+            "unfused_reasons": reasons + attn_reasons}
+
+
+def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
+    """Per-op XLA window-attention half-block (the fused kernel's reference;
+    kept as the fallback for families/bitwidths without a fused kernel)."""
+    head_dim = dim // heads
+    y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
+    y = _requant(y, blk["m_ln1"], 8)
+    yw = y.reshape(B, res, res, dim)
+    if shift > 0:
+        yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
+    yw = _window_partition_i(yw, ws)            # [B*nW, n, dim] i8
+
+    acc = _dot_i8(yw, blk["qkv_w"]) + blk["qkv_b"]
+    q8 = _requant(acc, blk["m_qkv"], 8)          # [B*nW, n, 3C]
+    bw_ = q8.shape[0]
+    qkv = q8.reshape(bw_, n, 3, heads, head_dim)
+    q_, k_, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scores = jax.lax.dot_general(
+        q_, k_, (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.int32)        # [B*nW, nH, n, n]
+    scores = _requant(scores, blk["m_attn"], 8)
+    # + quantized relative position bias (identity-fused requant)
+    attn = jnp.round(_f32(scores) * blk["m_attn2"]) \
+        + blk["rel_bias_addend"][None]
+    attn = jnp.clip(attn, -128, 127)
+    if shift > 0:
+        nw = (res // ws) ** 2
+        attn = attn.reshape(B, nw, heads, n, n) \
+            + blk["mask_int"][None, :, None]
+        attn = attn.reshape(-1, heads, n, n)
+    probs = _softmax_int(cfg, blk, attn.astype(jnp.int32), pallas=False)
+    ctx = jax.lax.dot_general(
+        probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.int32)        # [B*nW, nH, n, hd]
+    ctx = _requant(ctx, blk["m_av"], 8)
+    proj_w3 = blk["proj_w"].reshape(heads, head_dim, dim)
+    acc = jax.lax.dot_general(
+        ctx, proj_w3, (((1, 3), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32) + blk["proj_b"]
+    yo = _requant(acc, blk["m_proj"], 16)        # [B*nW, n, dim]
+
+    yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
+    if shift > 0:
+        yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
+    yo = yo.reshape(B, res * res, dim)
+
+    return jnp.clip(jnp.round(_f32(yo) * blk["m_res1_x"])
+                    + jnp.round(_f32(x) * blk["m_res1_id"]),
+                    -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
 
 def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     """images f32 NHWC -> float logits; all integer inner loop.
 
-    ``pallas``: fuse the row-local FFN half into the mlp_block_p kernel
-    (ivit/ibert families); window attention runs the per-op XLA path.
+    ``pallas``: fuse the window-attention half into swin_attn_block_p and
+    the row-local FFN half into mlp_block_p (ivit/ibert families).
     """
     cfg = spec.config
     p = spec.params
     fuse_mlp = (_use_pallas(pallas)
                 and cfg.base_type("gelu") in ("ivit", "ibert")
                 and cfg.base_type("ln") in ("ivit", "ibert"))
+    fuse_attn = (_use_pallas(pallas)
+                 and cfg.base_type("softmax") in ("ivit", "ibert")
+                 and cfg.base_type("ln") in ("ivit", "ibert")
+                 and cfg.bitwidths.softmax <= 8)
     B = images.shape[0]
     ps = cfg.patch_size
     grid = cfg.img_size // ps
@@ -354,50 +418,37 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
         ws = min(cfg.window_size, res)
         n = ws * ws
 
-        y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
-        y = _requant(y, blk["m_ln1"], 8)
-        yw = y.reshape(B, res, res, dim)
-        if shift > 0:
-            yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
-        yw = _window_partition_i(yw, ws)            # [B*nW, n, dim] i8
-
-        acc = _dot_i8(yw, blk["qkv_w"]) + blk["qkv_b"]
-        q8 = _requant(acc, blk["m_qkv"], 8)          # [B*nW, n, 3C]
-        bw_ = q8.shape[0]
-        qkv = q8.reshape(bw_, n, 3, heads, head_dim)
-        q_, k_, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scores = jax.lax.dot_general(
-            q_, k_, (((3,), (3,)), ((0, 2), (0, 2))),
-            preferred_element_type=jnp.int32)        # [B*nW, nH, n, n]
-        scores = _requant(scores, blk["m_attn"], 8)
-        # + quantized relative position bias (identity-fused requant)
-        attn = jnp.round(_f32(scores) * blk["m_attn2"]) \
-            + blk["rel_bias_addend"][None]
-        attn = jnp.clip(attn, -128, 127)
-        if shift > 0:
+        if fuse_attn:
+            # fused half-block: only the (token-permutation) shift/partition
+            # runs outside the kernel; LN, qkv, per-window scores with
+            # bias/mask addends, batched softmax, ctx, proj and the integer
+            # residual all happen in one pallas_call — bit-identical to the
+            # per-op path below (tests/test_swin_engine.py).
+            xw = x.reshape(B, res, res, dim)
+            if shift > 0:
+                xw = jnp.roll(xw, (-shift, -shift), axis=(1, 2))
+            xw = _window_partition_i(xw, ws)        # [B*nW, n, dim] i16
             nw = (res // ws) ** 2
-            attn = attn.reshape(B, nw, heads, n, n) \
-                + blk["mask_int"][None, :, None]
-            attn = attn.reshape(-1, heads, n, n)
-        probs = _softmax_int(cfg, blk, attn.astype(jnp.int32), pallas=False)
-        ctx = jax.lax.dot_general(
-            probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.int32)        # [B*nW, nH, n, hd]
-        ctx = _requant(ctx, blk["m_av"], 8)
-        proj_w3 = blk["proj_w"].reshape(heads, head_dim, dim)
-        acc = jax.lax.dot_general(
-            ctx, proj_w3, (((1, 3), (0, 1)), ((), ())),
-            preferred_element_type=jnp.int32) + blk["proj_b"]
-        yo = _requant(acc, blk["m_proj"], 16)        # [B*nW, n, dim]
-
-        yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
-        if shift > 0:
-            yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
-        yo = yo.reshape(B, res * res, dim)
-
-        x = jnp.clip(jnp.round(_f32(yo) * blk["m_res1_x"])
-                     + jnp.round(_f32(x) * blk["m_res1_id"]),
-                     -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
+            yo = pblk.swin_attn_block_p(
+                xw, ln_bias=blk["ln1_bias_int"], m_ln=blk["m_ln1"],
+                ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
+                qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
+                m_attn=blk["m_attn"], m_attn2=blk["m_attn2"],
+                s_attn=blk["s_attn"], rel_addend=blk["rel_bias_addend"],
+                mask_addend=blk.get("mask_int") if shift > 0 else None,
+                m_av=blk["m_av"], proj_w=blk["proj_w"],
+                proj_b=blk["proj_b"], m_proj=blk["m_proj"],
+                m_res_x=blk["m_res1_x"], m_res_id=blk["m_res1_id"],
+                num_heads=heads, n_windows=nw,
+                ln_base=cfg.base_type("ln"), sm_base=cfg.base_type("softmax"),
+                s_exp_act=blk.get("s_exp_act"), sm_bit=cfg.bitwidths.softmax)
+            yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
+            if shift > 0:
+                yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
+            x = yo.reshape(B, res * res, dim)
+        else:
+            x = _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws,
+                                   n, shift)
 
         if fuse_mlp and dim % 128 == 0:
             # lane-aligned stages only (96/192-dim stages pad 25-33% on VPU)

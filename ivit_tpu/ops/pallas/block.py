@@ -381,3 +381,175 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
       proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
       scalars)
     return out
+
+
+def _swin_attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
+                      rel_ref, mask_ref, wproj_ref, bproj_ref, mproj_ref,
+                      sc_ref, o_ref, ctx_ref, scores_ref, *,
+                      ln_base, sm_base, num_heads, sm_bit, mask_per_win):
+    wt, n, c = x_ref.shape
+    hd = c // num_heads
+    x_in = x_ref[...].astype(jnp.float32).reshape(wt * n, c)
+    m_attn = sc_ref[0]
+    m_attn2 = sc_ref[1]
+    s_attn = sc_ref[2]
+    m_av = sc_ref[3]
+    m_res_x = sc_ref[4]
+    m_res_id = sc_ref[5]
+    pw_shift = sc_ref[6]
+    s_exp_act = sc_ref[7]
+
+    if ln_base == "ivit":
+        y = _i_layernorm(x_in, lnb_ref[...])
+    else:
+        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
+    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + bqkv_ref[...]
+    qkv = _requant(acc.astype(jnp.float32), mqkv_ref[...], 8).astype(jnp.int8)
+
+    # scores per (window, head) into one scratch; rel-pos bias is added
+    # BEFORE the int8 clip and the shift mask AFTER it, exactly as the
+    # per-op engine does (engine/swin_int.py) — then one batched softmax.
+    for w in range(wt):
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            q_h = qkv[rows, h * hd:(h + 1) * hd]
+            k_h = qkv[rows, c + h * hd:c + (h + 1) * hd]
+            s32 = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [n, n]
+            s = jnp.clip(jnp.round(s32.astype(jnp.float32) * m_attn),
+                         -128.0, 127.0)
+            a = jnp.clip(jnp.round(s * m_attn2) + rel_ref[h], -128.0, 127.0)
+            if mask_per_win:
+                a = a + mask_ref[w]
+            srows = slice((w * num_heads + h) * n,
+                          (w * num_heads + h + 1) * n)
+            scores_ref[srows, :] = a
+
+    if sm_base == "ivit":
+        probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n)
+    else:
+        probs = _ibert_softmax(scores_ref[...], s_attn, s_exp_act, sm_bit, n)
+    scores_ref[...] = probs
+
+    for w in range(wt):
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            v_h = qkv[rows, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            srows = slice((w * num_heads + h) * n,
+                          (w * num_heads + h + 1) * n)
+            ctx_h = jax.lax.dot_general(
+                scores_ref[srows, :].astype(jnp.int8), v_h,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [n, hd]
+            ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(
+                ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(ctx_ref[...], wproj_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + bproj_ref[...]
+    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], 16)
+
+    # integer residual on the window-permuted layout: the residual add is
+    # elementwise, so permute(residual(x)) == residual(permute(x)) and the
+    # caller's window_reverse restores token order afterwards.
+    out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
+                   -(2.0**15), 2.0**15 - 1)
+    o_ref[...] = out.reshape(wt, n, c).astype(o_ref.dtype)
+
+
+def swin_attn_block_p(xw, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
+                      m_attn, m_attn2, s_attn, rel_addend, mask_addend,
+                      m_av, proj_w, proj_b, m_proj, m_res_x, m_res_id,
+                      num_heads, n_windows,
+                      ln_base="ivit", sm_base="ivit", s_exp_act=None,
+                      sm_bit=8, win_tile: int = 8,
+                      interpret: bool = False):
+    """Fused Swin window-attention half-block (VERDICT round-1 item 3).
+
+    ``xw``: int16 [B*nW, n, C] — the PRE-norm stage activations, already
+    cyclically shifted and window-partitioned (both are token permutations,
+    and every op in this half is token- or window-local, so fusing after the
+    permutation is exact).  Per grid program (a tile of whole windows from
+    one image): LN -> qkv GEMM -> per-(window, head) int8 scores with
+    rel-pos-bias and shift-mask addends -> ONE batched integer softmax ->
+    ctx GEMMs -> proj GEMM -> integer residual.  Output is int16 in the same
+    permuted layout; the caller window-reverses and un-rolls.
+
+    ``mask_addend``: f32 [nW, n, n] for shifted blocks (per-window shift
+    mask, reference swin_quant.py:223-247) or None.  ``rel_addend``:
+    f32 [H, n, n] requantized relative-position-bias integers.
+    """
+    bw_, n, c = xw.shape
+    wt = max(1, min(win_tile, n_windows))
+    while n_windows % wt:
+        wt -= 1
+    grid = (pl.cdiv(bw_, wt),)
+    mask_per_win = mask_addend is not None
+    if mask_addend is None:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+        mask_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask = mask_addend.astype(jnp.float32)
+        nblk = n_windows // wt
+        mask_spec = pl.BlockSpec((wt, n, n), lambda i: (i % nblk, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    scalars = jnp.stack([
+        jnp.reshape(m_attn, ()).astype(jnp.float32),
+        jnp.reshape(m_attn2, ()).astype(jnp.float32),
+        jnp.reshape(s_attn, ()).astype(jnp.float32),
+        jnp.reshape(m_av, ()).astype(jnp.float32),
+        jnp.reshape(m_res_x, ()).astype(jnp.float32),
+        jnp.reshape(m_res_id, ()).astype(jnp.float32),
+        jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
+        (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
+         if s_exp_act is not None else jnp.float32(1.0)),
+    ])
+    out = pl.pallas_call(
+        functools.partial(_swin_attn_kernel, ln_base=ln_base,
+                          sm_base=sm_base, num_heads=num_heads,
+                          sm_bit=sm_bit, mask_per_win=mask_per_win),
+        name="swin_attn_block_kernel",
+        out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.int8),
+                        pltpu.VMEM((wt * num_heads * n, n), jnp.float32)],
+        interpret=_interp(interpret),
+    )(xw,
+      ln_bias.astype(jnp.float32).reshape(1, c),
+      m_ln.astype(jnp.float32).reshape(1, c),
+      qkv_w, qkv_b.reshape(1, 3 * c),
+      m_qkv.astype(jnp.float32).reshape(1, 3 * c),
+      rel_addend.astype(jnp.float32),
+      mask,
+      proj_w, proj_b.reshape(1, c),
+      m_proj.astype(jnp.float32).reshape(1, c),
+      scalars)
+    return out

@@ -54,6 +54,74 @@ def time_dispatch(fn: Callable, *args, iters: int = 10):
     return (time.perf_counter() - t0) / iters
 
 
+def profile_device_ops(fn: Callable, *args, iters: int = 5):
+    """Run ``fn`` under ``jax.profiler.trace`` and aggregate device-op time.
+
+    Per the tunnel-timing doctrine (CLAUDE.md): per-op wall timing lies in
+    both directions, so speed-of-light accounting derives from the profiler
+    trace — the only per-op numbers the hardware actually reports.
+
+    Returns ``{op_name: {"us_per_iter", "calls_per_iter"}}`` summed over all
+    device lanes and divided by ``iters``.
+    """
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    out = fn(*args)
+    jax.block_until_ready(out)          # compile outside the trace
+    events = []
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+        for path in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
+            with gzip.open(path, "rt") as f:
+                events += json.load(f).get("traceEvents", [])
+
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name" and "args" in e}
+    dev_pids = {p for p, n in pid_names.items()
+                if "/device:" in n or "TPU" in n or "Device" in n}
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            rec = agg.setdefault(e.get("name", "?"), [0.0, 0])
+            rec[0] += float(e.get("dur", 0.0))
+            rec[1] += 1
+    return {k: {"us_per_iter": v[0] / iters, "calls_per_iter": v[1] / iters}
+            for k, v in sorted(agg.items(), key=lambda kv: -kv[1][0])}
+
+
+def sol_table(ops: dict, flops_by_match: dict, peak_ops_per_sec: float):
+    """Speed-of-light utilization per site.
+
+    ``flops_by_match``: {site: (name_substrings, ops_per_iter)} — an op event
+    is charged to the first site whose substring list matches its name.
+    Returns {site: {"us", "tops", "sol"}} plus an ``_unmatched_us`` entry.
+    """
+    out = {}
+    matched_names: set = set()
+    for site, (subs, flops) in flops_by_match.items():
+        us = 0.0
+        for name, rec in ops.items():
+            if any(s in name for s in subs):
+                us += rec["us_per_iter"]
+                matched_names.add(name)
+        if us > 0:
+            attained = flops / (us * 1e-6)
+            out[site] = {"us": round(us, 1),
+                         "tops": round(attained / 1e12, 1),
+                         "sol": round(attained / peak_ops_per_sec, 3)}
+    out["_unmatched_us"] = round(sum(
+        rec["us_per_iter"] for name, rec in ops.items()
+        if name not in matched_names), 1)
+    return out
+
+
 # Per-chip peak numbers for speed-of-light accounting.  TPU v5e (v5 lite):
 # 394 TOPS int8, 197 TFLOPS bf16, 819 GB/s HBM.
 PEAKS = {

@@ -31,13 +31,45 @@ CONFIGS = [
 ]
 
 
-def bench_config(cfg, batch, iters):
+def vit_gemm_sites(ec, batch):
+    """Per-site int-op counts (2*MACs) for the ViT engine at ``batch``.
+
+    Sites match the fused Pallas kernels by their explicit trace names; the
+    unfused/XLA path charges all dot fusions to one aggregate site.
+    """
+    C, H, L = ec.embed_dim, ec.num_heads, ec.depth
+    Dh = C // H
+    F = int(ec.mlp_ratio * C)
+    n_tok = (ec.img_size // ec.patch_size) ** 2
+    N = n_tok + 1
+    Np = ((N + 7) // 8) * 8          # fused kernels pad tokens
+    B = batch
+    patch = 2 * B * n_tok * (ec.patch_size**2 * 3) * C
+    qkv = 2 * B * Np * C * 3 * C
+    scores = 2 * B * H * Np * Np * Dh
+    ctx = scores
+    proj = 2 * B * Np * C * C
+    fc1 = 2 * B * Np * C * F
+    fc2 = fc1
+    head = 2 * B * C * ec.num_classes
+    attn_blk = (qkv + scores + ctx + proj) * L
+    mlp_blk = (fc1 + fc2) * L
+    total = patch + attn_blk + mlp_blk + head
+    return {
+        "attn_block_kernel": (["attn_block_kernel"], attn_blk),
+        "mlp_block_kernel": (["mlp_block_kernel"], mlp_blk),
+        "xla_gemms": (["dot", "fusion", "convolution"], patch + head),
+    }, total
+
+
+def bench_config(cfg, batch, iters, sol=False):
     import jax
     import jax.numpy as jnp
 
     from ivit_tpu.models import str2model
     from ivit_tpu.models.vit_float import FLOAT_ARCHS, float_model
-    from ivit_tpu.utils.benchmarking import time_dispatch
+    from ivit_tpu.utils.benchmarking import (chip_peaks, profile_device_ops,
+                                             sol_table, time_dispatch)
 
     is_swin = cfg["model"].startswith("swin")
     kwargs = dict(gelu_type=cfg["gelu"], softmax_type=cfg["softmax"],
@@ -56,14 +88,17 @@ def bench_config(cfg, batch, iters):
 
     if is_swin:
         from ivit_tpu.engine.swin_int import (freeze_swin_model,
-                                              swin_engine_forward)
+                                              swin_engine_forward,
+                                              swin_fusion_report)
         spec = freeze_swin_model(model, frozen)
+        fusion = swin_fusion_report(spec.config)
         fwd = jax.jit(lambda p, a: swin_engine_forward(
             type(spec)(spec.config, p), a))
     else:
         from ivit_tpu.engine import freeze_model
-        from ivit_tpu.engine.vit_int import engine_forward
+        from ivit_tpu.engine.vit_int import engine_forward, fusion_report
         spec = freeze_model(model, frozen)
+        fusion = fusion_report(spec.config)
         fwd = jax.jit(lambda p, a: engine_forward(
             type(spec)(spec.config, p), a))
 
@@ -81,7 +116,30 @@ def bench_config(cfg, batch, iters):
            "batch": batch,
            "int8_images_per_sec": round(batch / t, 1),
            "ms_per_batch": round(t * 1e3, 2),
-           "sim_engine_rel_err": parity}
+           "sim_engine_rel_err": parity,
+           "fusion": fusion}
+
+    if sol:
+        # VERDICT item 2: profiler-trace-derived per-GEMM speed of light
+        ops = profile_device_ops(lambda a: fwd(spec.params, a), x, iters=5)
+        peak = chip_peaks()["int8_tops"]
+        device_us = sum(r["us_per_iter"] for r in ops.values())
+        if device_us <= 0:
+            rec["sol"] = {"error": "no device ops in trace "
+                                   "(profiler device plane is TPU-only)"}
+        elif is_swin:
+            rec["sol"] = {"model_total": {
+                "us": round(device_us, 1),
+                "note": "per-site split pending fused swin kernels"}}
+        else:
+            sites, total_ops = vit_gemm_sites(spec.config, batch)
+            table = sol_table(ops, sites, peak)
+            table["model_total"] = {
+                "us": round(device_us, 1),
+                "sol": round(total_ops / (device_us * 1e-6) / peak, 3)}
+            rec["sol"] = table
+        rec["top_device_ops"] = {
+            k: round(v["us_per_iter"], 1) for k, v in list(ops.items())[:8]}
 
     if not is_swin:
         fm = float_model(cfg["model"])
@@ -100,6 +158,10 @@ def main():
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--out", default="BENCH_MATRIX.json")
     p.add_argument("--only", default=None)
+    p.add_argument("--sol", action="store_true", default=None,
+                   help="profiler-trace speed-of-light accounting "
+                        "(default: on when running on TPU)")
+    p.add_argument("--no-sol", dest="sol", action="store_false")
     args = p.parse_args()
 
     results = []
@@ -109,7 +171,10 @@ def main():
         batch = args.batch if not cfg["model"].startswith("swin") \
             else min(args.batch, 64)
         try:
-            rec = bench_config(cfg, batch, args.iters)
+            if args.sol is None:
+                import jax
+                args.sol = jax.default_backend() == "tpu"
+            rec = bench_config(cfg, batch, args.iters, sol=args.sol)
         except Exception as exc:  # noqa: BLE001 - report and continue
             rec = {"config": cfg["name"], "error": repr(exc)[:400]}
         print(json.dumps(rec), flush=True)

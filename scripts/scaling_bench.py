@@ -33,6 +33,18 @@ def main():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--mode", choices=["weak", "strong"], default=None,
+                   help="weak: fixed per-device batch (real chips — measures "
+                        "ICI scaling).  strong: fixed TOTAL batch (virtual "
+                        "CPU mesh — all devices share the same cores, so "
+                        "weak scaling is physically impossible there; strong "
+                        "scaling isolates the partitioning/dispatch overhead "
+                        "the mesh adds, which IS meaningful on CPU).  "
+                        "Default: weak on TPU, strong on CPU.")
+    p.add_argument("--serving", action="store_true",
+                   help="also measure through ServingEngine (continuous "
+                        "batching, futures) at each width")
+    p.add_argument("--out", default=None, help="write JSON artifact here")
     args = p.parse_args()
 
     import jax
@@ -50,6 +62,8 @@ def main():
     ndev = len(jax.devices())
     widths = args.widths or [w for w in (1, 2, 4, 8, 16, 32) if w <= ndev]
     pallas = False if args.no_pallas else None
+    mode = args.mode or ("weak" if jax.default_backend() == "tpu"
+                         else "strong")
 
     model = str2model(args.model)(
         gelu_type=args.family, softmax_type=args.family,
@@ -67,7 +81,8 @@ def main():
     base_ips = None
     for w in widths:
         mesh = make_mesh(dp=w, tp=1, devices=jax.devices()[:w])
-        bsz = args.per_device_batch * w
+        bsz = (args.per_device_batch * w if mode == "weak"
+               else args.per_device_batch * max(widths))
         x = jnp.asarray(rng.normal(
             size=(bsz, 224, 224, 3)).astype(np.float32))
         x = jax.device_put(x, batch_sharding(mesh))
@@ -81,13 +96,45 @@ def main():
         ips = bsz / t
         if base_ips is None:
             base_ips = ips
-        eff = ips / (base_ips * w)
-        results.append({"devices": w, "batch": bsz,
-                        "images_per_sec": round(ips, 1),
-                        "scaling_efficiency": round(eff, 3)})
+        # weak: perfect = w-fold throughput growth.  strong (shared-core CPU
+        # mesh): perfect = unchanged throughput (same silicon, overhead only).
+        eff = ips / (base_ips * w) if mode == "weak" else ips / base_ips
+        rec = {"devices": w, "batch": bsz,
+               "images_per_sec": round(ips, 1),
+               "scaling_efficiency": round(eff, 3)}
+        if args.serving:
+            from ivit_tpu.engine.serving import ServingEngine
+            with ServingEngine(spec, batch_size=bsz, max_wait_ms=2,
+                               mesh=mesh, pallas=pallas) as srv:
+                imgs = [np.asarray(rng.normal(size=(224, 224, 3)),
+                                   np.float32) for _ in range(bsz)]
+                for f in [srv.submit(im) for im in imgs]:   # warm compile
+                    f.result()
+                import time as _time
+                t0 = _time.perf_counter()
+                n_reqs = 2 * bsz
+                futs = [srv.submit(imgs[i % bsz]) for i in range(n_reqs)]
+                for f in futs:
+                    f.result()
+                srv_ips = n_reqs / (_time.perf_counter() - t0)
+            rec["serving_images_per_sec"] = round(srv_ips, 1)
+            rec["serving_fraction_of_raw"] = round(srv_ips / ips, 3)
+        results.append(rec)
         print(f"dp={w:3d}: {ips:10.1f} img/s  efficiency {eff:.3f}",
               file=sys.stderr)
-    print(json.dumps(results, indent=2))
+    artifact = {"mode": mode,
+                "backend": jax.default_backend(),
+                "model": args.model, "family": args.family,
+                "note": ("strong scaling on a shared-core virtual mesh: "
+                         "perfect = 1.0 (partitioning adds no overhead); "
+                         "weak-scaling ICI efficiency requires real chips"
+                         if mode == "strong" else
+                         "weak scaling: perfect = 1.0 (linear in devices)"),
+                "results": results}
+    print(json.dumps(artifact, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
 
 
 if __name__ == "__main__":
