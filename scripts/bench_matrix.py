@@ -141,14 +141,17 @@ def bench_config(cfg, batch, iters, sol=False):
         rec["top_device_ops"] = {
             k: round(v["us_per_iter"], 1) for k, v in list(ops.items())[:8]}
 
-    if not is_swin:
+    if is_swin:
+        from ivit_tpu.models.vit_float import float_swin_model
+        fm = float_swin_model(cfg["model"])
+    else:
         fm = float_model(cfg["model"])
-        fvars = jax.jit(lambda a: fm.init(jax.random.PRNGKey(0), a))(x_cal)
-        ff = jax.jit(lambda v, a: fm.apply(v, a))
-        np.asarray(ff(fvars, x_cal))
-        tf = time_dispatch(lambda a: ff(fvars, a), x, iters=iters)
-        rec["bf16_images_per_sec"] = round(batch / tf, 1)
-        rec["speedup_vs_bf16"] = round(tf / t, 3)
+    fvars = jax.jit(lambda a: fm.init(jax.random.PRNGKey(0), a))(x_cal)
+    ff = jax.jit(lambda v, a: fm.apply(v, a))
+    np.asarray(ff(fvars, x_cal))
+    tf = time_dispatch(lambda a: ff(fvars, a), x, iters=iters)
+    rec["bf16_images_per_sec"] = round(batch / tf, 1)
+    rec["speedup_vs_bf16"] = round(tf / t, 3)
     return rec
 
 
