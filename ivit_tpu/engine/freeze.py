@@ -233,6 +233,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_a1 = _act_scale(bq, "qact1", 8)
         blk["ln1_bias_int"] = ln1_bias
         blk["ln1_shift"] = ln1_shift
+        blk["s_ln1"] = ln1_scale                             # [C]
         blk["m_ln1"] = requant_multiplier(ln1_scale, s_a1)   # [C]
 
         aq = bq["attn"]
@@ -281,6 +282,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_m1 = _act_scale(bq, "qact3", 8)
         blk["ln2_bias_int"] = ln2_bias
         blk["ln2_shift"] = ln2_shift
+        blk["s_ln2"] = ln2_scale
         blk["m_ln2"] = requant_multiplier(ln2_scale, s_m1)
 
         mp, mq = bp["mlp"], bq["mlp"]
@@ -337,6 +339,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     s_cls = _act_scale(Q, "qact2", 8)
     p["lnf_bias_int"] = lnf_bias
     p["lnf_shift"] = lnf_shift
+    p["s_lnf"] = lnf_scale
     p["m_lnf"] = requant_multiplier(lnf_scale, s_cls)
     head_w, head_b, head_scale = _linear(P["head"], s_cls, "head")
     p["head_w"] = head_w

@@ -24,7 +24,15 @@ import numpy as np
 
 from ..parallel import batch_sharding, make_mesh, replicated
 from .freeze import EngineSpec
-from .vit_int import engine_forward
+from .vit_int import engine_forward as _vit_forward
+
+
+def _forward_for(spec):
+    """Engine forward matching the spec type (ViT or Swin)."""
+    from .swin_int import SwinEngineSpec, swin_engine_forward
+    if isinstance(spec, SwinEngineSpec):
+        return swin_engine_forward
+    return _vit_forward
 
 
 class ServingMetrics:
@@ -89,16 +97,20 @@ class ServingEngine:
             self._batch_sharding = batch_sharding(mesh)
             params = jax.device_put(spec.params, replicated(mesh))
             self._params = params
+            fwd_fn = _forward_for(spec)
+            spec_cls = type(spec)
             self._fwd = jax.jit(
-                lambda p, x: engine_forward(
-                    EngineSpec(spec.config, p), x, pallas=pallas),
+                lambda p, x: fwd_fn(
+                    spec_cls(spec.config, p), x, pallas=pallas),
                 in_shardings=(replicated(mesh), self._batch_sharding),
                 out_shardings=self._batch_sharding)
         else:
             self._batch_sharding = None
             self._params = spec.params
-            self._fwd = jax.jit(lambda p, x: engine_forward(
-                EngineSpec(spec.config, p), x, pallas=pallas))
+            fwd_fn = _forward_for(spec)
+            spec_cls = type(spec)
+            self._fwd = jax.jit(lambda p, x: fwd_fn(
+                spec_cls(spec.config, p), x, pallas=pallas))
 
         img = spec.config.img_size
         self._img_shape = (img, img, 3)

@@ -39,7 +39,7 @@ from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
 from ..ops.pallas import block as pblk
 from ..ops.quant import exact_int_sum, rdiv
 from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _layernorm_int,
-                      _requant, _softmax_int, _use_pallas)
+                      _ln_requant, _requant, _softmax_int, _use_pallas)
 
 import dataclasses
 
@@ -104,6 +104,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
         "w": w_int, "b": b_int,
         "m": requant_multiplier(conv_out_scale, s_bn),     # conv -> pre-norm
         "pn_bias_int": pn_bias, "pn_shift": pn_shift,
+        "s_pn": pn_scale,
         "m_norm": requant_multiplier(pn_scale, s_patch),   # norm -> qact
         "m_x0": requant_multiplier(s_patch, s0),           # qact1 (16-bit)
     }
@@ -127,6 +128,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_a1 = _act_scale(bq, "qact1", 8)
             blk["ln1_bias_int"] = ln1_bias
             blk["ln1_shift"] = ln1_shift
+            blk["s_ln1"] = ln1_scale
             blk["m_ln1"] = requant_multiplier(ln1_scale, s_a1)
 
             aq, ap = bq["attn"], bp["attn"]
@@ -189,6 +191,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_m1 = _act_scale(bq, "qact3", 8)
             blk["ln2_bias_int"] = ln2_bias
             blk["ln2_shift"] = ln2_shift
+            blk["s_ln2"] = ln2_scale
             blk["m_ln2"] = requant_multiplier(ln2_scale, s_m1)
 
             mp, mq = bp["mlp"], bq["mlp"]
@@ -235,6 +238,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_n = _act_scale(dq, "qact1", 8)
             mg["norm_bias_int"] = nb
             mg["norm_shift"] = nshift
+            mg["s_norm"] = nscale
             mg["m_norm"] = requant_multiplier(nscale, s_n)
             red_w, red_b, red_scale = _linear(dp["reduction"], s_n, "red")
             s_r = _act_scale(dq, "qact2", 8)
@@ -251,6 +255,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     s_cls = _act_scale(Q, "qact2", 8)
     p["lnf_bias_int"] = lnf_bias
     p["lnf_shift"] = lnf_shift
+    p["s_lnf"] = lnf_scale
     p["m_lnf"] = requant_multiplier(lnf_scale, s_cls)
     s_pool = _act_scale(Q, "qact3", 8)
     p["m_pool"] = requant_multiplier(s_cls, s_pool)
@@ -317,7 +322,7 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
     kept as the fallback for families/bitwidths without a fused kernel)."""
     head_dim = dim // heads
     y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
-    y = _requant(y, blk["m_ln1"], 8)
+    y = _ln_requant(y, blk["s_ln1"], blk["m_ln1"], 8)
     yw = y.reshape(B, res, res, dim)
     if shift > 0:
         yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
@@ -389,7 +394,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     # patch norm (ivit/ibert core) then qact, then the 16-bit stage input
     y = _layernorm_int(cfg, x, p["patch"]["pn_bias_int"],
                        p["patch"]["pn_shift"])
-    x = _requant(y, p["patch"]["m_norm"], 8)
+    x = _ln_requant(y, p["patch"]["s_pn"], p["patch"]["m_norm"], 8)
     x = jnp.clip(jnp.round(_f32(x) * p["patch"]["m_x0"]),
                  -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
@@ -406,7 +411,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
             xm = xm.reshape(B, -1, 4 * dim)
             y = _layernorm_int(cfg, xm, mg["norm_bias_int"],
                                mg["norm_shift"])
-            y = _requant(y, mg["m_norm"], 8)
+            y = _ln_requant(y, mg["s_norm"], mg["m_norm"], 8)
             acc = _dot_i8(y, mg["red_w"])
             x = _requant(acc, mg["m_red"], 8)
             res //= 2
@@ -430,7 +435,8 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
             xw = _window_partition_i(xw, ws)        # [B*nW, n, dim] i16
             nw = (res // ws) ** 2
             yo = pblk.swin_attn_block_p(
-                xw, ln_bias=blk["ln1_bias_int"], m_ln=blk["m_ln1"],
+                xw, ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
+                m_ln=blk["m_ln1"],
                 ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
                 qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
                 m_attn=blk["m_attn"], m_attn2=blk["m_attn2"],
@@ -454,20 +460,21 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
             # lane-aligned stages only (96/192-dim stages pad 25-33% on VPU)
             xf = x.reshape(B * res * res, dim)
             xf = pblk.mlp_block_p(
-                xf, ln_bias=blk["ln2_bias_int"], m_ln=blk["m_ln2"],
+                xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
+                m_ln=blk["m_ln2"],
                 ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
                 fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],
                 s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
                 fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"],
                 m_fc2=blk["m_fc2"], m_res_x=blk["m_res2_x"],
                 m_res_id=blk["m_res2_id"], ln_base=cfg.base_type("ln"),
-                gelu_base=cfg.base_type("gelu"), out_bits=16,
+                gelu_base=cfg.base_type("gelu"), mlp_bits=8, out_bits=16,
                 out_dtype=jnp.int16)
             x = xf.reshape(B, res * res, dim)
         else:
             y = _layernorm_int(cfg, x, blk["ln2_bias_int"],
                                blk["ln2_shift"])
-            y = _requant(y, blk["m_ln2"], 8)
+            y = _ln_requant(y, blk["s_ln2"], blk["m_ln2"], 8)
             acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
             y = _requant(acc, blk["m_fc1"], 8)
             y = _gelu_int(cfg, blk, _f32(y))
@@ -479,7 +486,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                          -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
     y = _layernorm_int(cfg, x, p["lnf_bias_int"], p["lnf_shift"])
-    y = _requant(y, p["m_lnf"], 8)
+    y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)
     # exact-int avgpool, bit-mirroring the sim (models/swin.py): two-limb
     # int32 token sum, correctly-rounded divide by N, round once
     y = jnp.round(rdiv(exact_int_sum(jnp.swapaxes(_f32(y), 1, 2)),

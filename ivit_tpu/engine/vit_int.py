@@ -173,6 +173,24 @@ def _requant(acc, m, bits, addend=None):
     return jnp.clip(y, -n - 1, n).astype(_container(bits))
 
 
+def _ln_requant(y_int, s_pre, m, bits):
+    """Requant of LayerNorm-output ints, replicating the sim bit-for-bit.
+
+    LN cores emit ints ~2**30 (factor = floor(INT32_MAX/std) by the
+    reference's construction) — beyond the f32-exact 2**24 envelope.  The
+    QAT sim's QuantAct recovers its integer from the fake-quant float as
+    ``z = round(rdiv(fl(y_int * s), s))`` (quant_modules.py:385 semantics),
+    a LOSSY roundtrip up there: z can sit one 24-bit-grid ulp away from the
+    raw ``y_int``, which flips requant ties (measured: 1 element in ~4e7 on
+    Swin-T at 224 made sim and engine logits differ by a quant step).  So
+    the engine computes the same single-rounded chain instead of using the
+    raw int — every step is a correctly-rounded f32 op, deterministic in
+    every compilation context on every backend.
+    """
+    z = jnp.round(rdiv(_f32(y_int) * s_pre, s_pre))
+    return _requant(z, m, bits)
+
+
 def _softmax_int(cfg, blk, scores_int, pallas=None):
     """int container scores -> int container probs."""
     base = cfg.base_type("softmax")
@@ -343,7 +361,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         for blk in p["blocks"]:
             x = pblk.attn_block_p(
-                x, ln_bias=blk["ln1_bias_int"], m_ln=blk["m_ln1"],
+                x, ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
+                m_ln=blk["m_ln1"],
                 ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
                 qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
                 m_attn=blk["m_attn"], s_attn=blk["s_attn"], m_av=blk["m_av"],
@@ -352,29 +371,31 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 m_res_id=blk["m_res1_id"], num_heads=H, n_valid=N,
                 ln_base=ln_base, sm_base=sm_base,
                 s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
-                attn_bits=8, out_bits=bw.norm2_in,
+                attn_bits=8, proj_bits=bw.attention_out,
+                out_bits=bw.norm2_in,
                 out_dtype=_container(bw.norm2_in))
             xf = x.reshape(B * n_pad, C)
             xf = pblk.mlp_block_p(
-                xf, ln_bias=blk["ln2_bias_int"], m_ln=blk["m_ln2"],
+                xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
+                m_ln=blk["m_ln2"],
                 ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
                 fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],
                 s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
                 fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"], m_fc2=blk["m_fc2"],
                 m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
                 ln_base=ln_base, gelu_base=gelu_base,
-                out_bits=bw.att_block_out,
+                mlp_bits=bw.mlp_out, out_bits=bw.att_block_out,
                 out_dtype=_container(bw.att_block_out))
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
-        y = _requant(y, p["m_lnf"], 8)
+        y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)
         acc = _gemm_bias(y[:, 0], p["head_w"], p["head_b"])
         return acc.astype(jnp.float32) * p["head_scale"]
 
     for blk in p["blocks"]:
         # --- attention half ---
         y = _layernorm_int(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"])
-        y = _requant(y, blk["m_ln1"], 8)
+        y = _ln_requant(y, blk["s_ln1"], blk["m_ln1"], 8)
         acc = _gemm_bias(y, blk["qkv_w"], blk["qkv_b"])
         y = _requant(acc, blk["m_qkv"], 8)                       # i8 [B,N,3C]
 
@@ -410,7 +431,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
 
         # --- MLP half ---
         y = _layernorm_int(cfg, x, blk["ln2_bias_int"], blk["ln2_shift"])
-        y = _requant(y, blk["m_ln2"], 8)
+        y = _ln_requant(y, blk["s_ln2"], blk["m_ln2"], 8)
         acc = _gemm_bias(y, blk["fc1_w"], blk["fc1_b"])
         y = _requant(acc, blk["m_fc1"], 8)
         y = _gelu_requant_int(cfg, blk, y, 8, pallas=pallas)
@@ -426,7 +447,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     # engine norms/requants just that row — the final scale was calibrated on
     # cls alone and the other 196 rows would both waste compute and saturate.
     y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
-    y = _requant(y, p["m_lnf"], 8)[:, 0]
+    y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)[:, 0]
     acc = _gemm_bias(y, p["head_w"], p["head_b"])
     return acc.astype(jnp.float32) * p["head_scale"]
 

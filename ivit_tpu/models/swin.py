@@ -129,8 +129,17 @@ class WindowAttention(nn.Module):
 
         if mask is not None:
             nw = mask.shape[0]
+            # Quantize the 0/-100 mask onto the current activation grid so
+            # the add is integer-exact: the engine adds round(mask/s) in the
+            # integer domain (engine/swin_int.py), while a raw float -100
+            # add lands between grid points and the int core's round-snap
+            # then flips on float noise (reference swin_quant.py:151-158
+            # has the raw add, but its Swin never ran).  -100/s >> the
+            # softmax exp cutoff, so quantization changes no probability.
+            s1d = jax.lax.stop_gradient(jnp.reshape(s, ()))
+            mask_q = jnp.round(q.rdiv(mask, s1d)) * s1d
             attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) \
-                + mask[None, :, None]
+                + mask_q[None, :, None]
             attn = attn.reshape(-1, self.num_heads, n, n)
         attn, s = softmax_factory(name="int_softmax")(
             attn, s, running_stat=running_stat)

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp
 
-from .nonlinear import (_exact_fma, _floor_div, _int_exp_shift, _int_sum,
+from .nonlinear import (_exact_fma, _int_exp_shift, _int_sum,
                         _pow2, _rdiv, _sq_sum)
 
 INT32_MAX = 2.0**31 - 1
@@ -47,7 +47,8 @@ def _ibert_int_exp(x_int, s):
     """I-BERT integer exp core in-kernel (ops/ibert.py int_exp)."""
     x0 = jnp.floor(_rdiv(_IB_EXP_X0, s))
     x_int = jnp.maximum(x_int, _IB_EXP_N * x0)
-    q = _floor_div(x_int, x0, 1.0 / x0)
+    # floor(correctly-rounded quotient), matching ops/ibert.int_exp exactly
+    q = jnp.floor(_rdiv(x_int, x0))
     r = x_int - x0 * q
     b_int = jnp.floor(_rdiv(_IB_EXP_B, s))
     c_int = jnp.floor(_rdiv(_IB_EXP_C, (s * s)))
@@ -106,6 +107,15 @@ def _requant(acc, m, bits):
     return jnp.clip(jnp.round(acc * m), -lim, lim - 1)
 
 
+def _ln_requant(y, sln, m, bits):
+    """LN-edge requant replicating the sim's lossy float roundtrip: LN ints
+    are ~2**30 (> f32-exact), so the recovered integer is the single-rounded
+    chain round(rdiv(fl(y*s), s)), not the raw int — see
+    engine/vit_int._ln_requant for the full analysis."""
+    z = jnp.round(_rdiv(y * sln, sln))
+    return _requant(z, m, bits)
+
+
 def _shift_gelu(x, s_sig, output_bit=8, n=23):
     x_max = jnp.max(x, axis=-1, keepdims=True)
     exp_int = _int_exp_shift(x - x_max, s_sig, n)
@@ -116,9 +126,9 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23):
     return x * sigmoid_int
 
 
-def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
+def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, gelu_base, out_bits):
+                ln_base, gelu_base, mlp_bits, out_bits):
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
     m_gelu = sc_ref[1]
@@ -130,7 +140,7 @@ def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
         y = _i_layernorm(x_in, lnb_ref[...])
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(y, w1_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -146,7 +156,10 @@ def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     acc = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + b2_ref[...]
-    y2 = _requant(acc.astype(jnp.float32), m2_ref[...], out_bits)
+    # fc2 requants into ITS OWN container (mlp_out bitwidth) before the
+    # residual's wider clip — on Swin these differ (8 vs 16) and using one
+    # width silently skipped the engine's 8-bit clamp
+    y2 = _requant(acc.astype(jnp.float32), m2_ref[...], mlp_bits)
 
     lim = 2.0 ** (out_bits - 1)
     out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
@@ -154,9 +167,9 @@ def _mlp_kernel(x_ref, lnb_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
+def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
-                ln_base="ivit", gelu_base="ivit", out_bits=8,
+                ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
                 out_dtype=jnp.int8,
                 tile_rows: int = 512, interpret: bool = False):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
@@ -181,12 +194,13 @@ def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
-                          out_bits=out_bits),
+                          mlp_bits=mlp_bits, out_bits=out_bits),
         name="mlp_block_kernel",
         out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -202,6 +216,7 @@ def mlp_block_p(x_int, *, ln_bias, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         interpret=_interp(interpret),
     )(x_int,
       ln_bias.astype(jnp.float32).reshape(1, c),
+      s_ln.astype(jnp.float32).reshape(1, c),
       m_ln.astype(jnp.float32).reshape(1, c),
       fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
       fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
@@ -247,10 +262,10 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
     return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
 
 
-def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
-                 wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref, ctx_ref,
-                 scores_ref, *, ln_base, sm_base, num_heads, n_valid, sm_bit,
-                 out_bits, attn_bits):
+def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
+                 mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
+                 ctx_ref, scores_ref, *, ln_base, sm_base, num_heads,
+                 n_valid, sm_bit, proj_bits, out_bits, attn_bits):
     t, np_, c = x_ref.shape
     dh = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
@@ -266,7 +281,7 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
         y = _i_layernorm(x_in, lnb_ref[...])
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -313,7 +328,7 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + bproj_ref[...]
-    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], out_bits)
+    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], proj_bits)
 
     lim = 2.0 ** (out_bits - 1)
     out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
@@ -321,11 +336,11 @@ def _attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
     o_ref[...] = out.reshape(t, np_, c).astype(o_ref.dtype)
 
 
-def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
+def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  m_attn, s_attn, m_av, proj_w, proj_b, m_proj,
                  m_res_x, m_res_id, num_heads, n_valid,
                  ln_base="ivit", sm_base="ivit", s_exp_act=None,
-                 sm_bit=8, attn_bits=8, out_bits=8,
+                 sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
                  out_dtype=jnp.int8, img_tile: int = 2,
                  interpret: bool = False):
     """Fused attention half-block on the padded token stream.
@@ -351,14 +366,15 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     out = pl.pallas_call(
         functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
                           num_heads=num_heads,
-                          n_valid=n_valid, sm_bit=sm_bit, out_bits=out_bits,
-                          attn_bits=attn_bits),
+                          n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
+                          out_bits=out_bits, attn_bits=attn_bits),
         name="attn_block_kernel",
         out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -376,6 +392,7 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         interpret=_interp(interpret),
     )(x_int,
       ln_bias.astype(jnp.float32).reshape(1, c),
+      s_ln.astype(jnp.float32).reshape(1, c),
       m_ln.astype(jnp.float32).reshape(1, c),
       qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
       proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
@@ -383,9 +400,9 @@ def attn_block_p(x_int, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     return out
 
 
-def _swin_attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
-                      rel_ref, mask_ref, wproj_ref, bproj_ref, mproj_ref,
-                      sc_ref, o_ref, ctx_ref, scores_ref, *,
+def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
+                      mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
+                      mproj_ref, sc_ref, o_ref, ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win):
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -403,7 +420,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
         y = _i_layernorm(x_in, lnb_ref[...])
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _requant(y, mln_ref[...], 8).astype(jnp.int8)
+    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -463,7 +480,8 @@ def _swin_attn_kernel(x_ref, lnb_ref, mln_ref, wqkv_ref, bqkv_ref, mqkv_ref,
     o_ref[...] = out.reshape(wt, n, c).astype(o_ref.dtype)
 
 
-def swin_attn_block_p(xw, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
+def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
+                      m_qkv,
                       m_attn, m_attn2, s_attn, rel_addend, mask_addend,
                       m_av, proj_w, proj_b, m_proj, m_res_x, m_res_id,
                       num_heads, n_windows,
@@ -523,6 +541,7 @@ def swin_attn_block_p(xw, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
@@ -544,6 +563,7 @@ def swin_attn_block_p(xw, *, ln_bias, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         interpret=_interp(interpret),
     )(xw,
       ln_bias.astype(jnp.float32).reshape(1, c),
+      s_ln.astype(jnp.float32).reshape(1, c),
       m_ln.astype(jnp.float32).reshape(1, c),
       qkv_w, qkv_b.reshape(1, 3 * c),
       m_qkv.astype(jnp.float32).reshape(1, 3 * c),

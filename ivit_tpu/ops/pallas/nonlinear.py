@@ -31,42 +31,28 @@ from . import _interp
 INT32_MAX = 2.0**31 - 1
 
 
-_DEKKER_SPLIT = 4097.0  # 2**12 + 1 for float32
+from ..quant import exact_fma as _quant_exact_fma
+from ..quant import rdiv as _quant_rdiv
 
 
 def _rdiv(a, b):
-    """Correctly-rounded f32 division (see ops/quant.rdiv): TPU's f32 divide
-    is ~1 ulp sloppy and flips floor/round constructs at boundaries.  The
-    residual is computed exactly via the Dekker two-product, so the result is
-    identical whether or not Mosaic contracts multiply-adds into FMAs —
-    keeping the kernels bit-equal to the unfused engine and the QAT sim."""
-    q = a / b
-    p = q * b
-    th = _DEKKER_SPLIT * q
-    qh = th - (th - q)
-    ql = q - qh
-    tb = _DEKKER_SPLIT * b
-    bh = tb - (tb - b)
-    bl = b - bh
-    e = ((qh * bh - p) + qh * bl + ql * bh) + ql * bl
-    r = (a - p) - e
-    return q + r / b
+    """Correctly-rounded f32 division, contraction/rewrite-proof.
+
+    Delegates to ops.quant.rdiv so the kernels share the exact construction
+    the sim and unfused engine use (bitmask splits, pinned operands,
+    barrier-separated divisions — see ops/quant.py for the full hazard
+    catalogue: TPU's sloppy divide, XLA's shared-divisor rewrite, LLVM FMA
+    contraction of producer expressions).  In interpret mode this runs as
+    XLA ops where all those hazards are live; under Mosaic the bitcasts are
+    supported (pow2 uses them) — scalar-operand lowering to be validated on
+    hardware.
+    """
+    return _quant_rdiv(a, b)
 
 
 def _exact_fma(a, b, c):
-    """Correctly-rounded a*b + c, contraction-immune (ops/quant.exact_fma)."""
-    p = a * b
-    ta = _DEKKER_SPLIT * a
-    ah = ta - (ta - a)
-    al = a - ah
-    tb = _DEKKER_SPLIT * b
-    bh = tb - (tb - b)
-    bl = b - bh
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    s = p + c
-    bp = s - c
-    err_add = (p - bp) + (c - (s - bp))
-    return s + (err_add + e)
+    """Correctly-rounded a*b + c, contraction-immune (ops.quant.exact_fma)."""
+    return _quant_exact_fma(a, b, c)
 
 
 def _int_sum(x):
@@ -122,7 +108,13 @@ def _int_exp_shift(x_int, scaling_factor, n):
     x_int = x_int + jnp.floor(x_int * 0.5) - jnp.floor(x_int * 0.0625)
     x0_int = jnp.floor(_rdiv(-1.0, scaling_factor))
     x_int = jnp.maximum(x_int, n * x0_int)
-    q = _floor_div(x_int, x0_int, 1.0 / x0_int)
+    # floor of the correctly-rounded quotient — the reference's semantic
+    # (torch floor(x/x0)) and bit-identical to the engine's
+    # ivit_ops.int_exp_shift.  The former multiply-and-correct _floor_div
+    # computed the TRUE floor instead, which differs at quotients within
+    # one f32 ulp of an integer (observed: single-element gelu flips on
+    # full-size Swin).
+    q = jnp.floor(_rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int = r * 0.5 - x0_int
     return jnp.clip(jnp.floor(exp_int * _pow2(n - q)), 0, None)

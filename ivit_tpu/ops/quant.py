@@ -35,23 +35,67 @@ import jax.numpy as jnp
 F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 
-_DEKKER_SPLIT = 4097.0  # 2**12 + 1 for float32 (p=24 -> 12/12-bit halves)
+_PIN = float.fromhex("0x1p-126")  # smallest normal f32
+
+
+def _pin(v):
+    """Materialize ``v``'s rounded value against FMA contraction.
+
+    If ``v`` is an unmaterialized product expression (``v = x*y``), the
+    backend may contract a downstream ``v - z`` into ``fma(x, y, -z)`` —
+    substituting the infinitely-precise product for the rounded value that
+    every other use of ``v`` sees (measured on XLA:CPU: ``x*y - p`` under
+    jit returns the exact product error).  ``(v - c) + c`` cannot be folded
+    away without float reassociation (which XLA/LLVM never do outside
+    fast-math) and is value-exact for v == 0 and every |v| >= 2**-102:
+    ``c`` vanishes below 0.5 ulp in the subtraction and restores exactly.
+    Two flops; breaks the (mul, add) pattern because the consumer now sees
+    an add node.
+
+    ``c`` itself hides behind an optimization_barrier: with a visible
+    constant, XLA's algebraic simplifier reassociates ``(v - c) + c`` away
+    at the HLO level (verified in optimized HLO dumps).  The barrier is
+    deleted only after all algebraic passes, and LLVM cannot reassociate
+    floats without fast-math, so the pin survives to machine code.
+    """
+    c = jax.lax.optimization_barrier(jnp.float32(_PIN))
+    return (v - c) + c
+
+
+def _two_sum(x, y):
+    """Knuth TwoSum: s = fl(x+y) and its exact error, add/sub ops only."""
+    s = x + y
+    yy = s - x
+    e = (x - (s - yy)) + (y - yy)
+    return s, e
 
 
 def _split(x):
-    """Dekker split: x == hi + lo with hi, lo each <= 12 significant bits."""
-    t = _DEKKER_SPLIT * x
-    hi = t - (t - x)
+    """Bitmask split: x == hi + lo, hi keeping the top 12 mantissa bits.
+
+    A bit operation instead of the classic Veltkamp multiply
+    (``t = 4097x; hi = t - (t - x)``): the multiply form's ``t - x`` is a
+    (mul, sub) pair that LLVM/XLA may contract into an FMA inside fused
+    loops — which evaluates ``4096x`` exactly, collapses the split to
+    ``hi == x, lo == 0``, and silently corrupts every downstream error
+    term, *context-dependently* (measured as eager-vs-jit requant-tie flips
+    in Swin-T).  Bit ops cannot be contracted or algebraically rewritten.
+    ``lo = x - hi`` is exact (same binade, 12-bit tail).
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-4096)), jnp.float32)
     return hi, x - hi
 
 
 def _two_product_err(x, y, p):
-    """Exact error e of p = fl(x*y), i.e. x*y == p + e (Dekker/Veltkamp).
+    """Exact error e of p = fl(x*y), i.e. x*y == p + e.
 
-    Every partial product is exact (12x12-bit operands), so the value is
-    identical whether or not the compiler contracts the multiply-adds into
-    FMAs — the property that makes :func:`rdiv` bit-stable across eager
-    dispatch, jit, and fusion contexts.
+    Every partial product is exact (12x12-bit operands), so each
+    multiply-add here is FMA-contraction-immune: ``fl(xh*yh) == xh*yh``
+    exactly, hence ``fma(xh, yh, -p) == fl(xh*yh) - p`` bit-for-bit.
+    Combined with the bitmask :func:`_split`, the whole error computation
+    is identical in every compilation context.
     """
     xh, xl = _split(x)
     yh, yl = _split(y)
@@ -81,14 +125,42 @@ def rdiv(a, b):
     Operands are coerced to f32 first: a Python-float divisor would have its
     Veltkamp split evaluated in host f64 (hi == b, lo == 0), silently
     degrading the correction to ~1 ulp noise in eager dispatch only.
+
+    The two divisions go through structurally distinct
+    ``optimization_barrier`` results: XLA's shared-divisor rewrite
+    (``x/b, y/b -> recip = 1/b; x*recip, y*recip``) otherwise replaces BOTH
+    correctly-rounded divides with 1-ulp reciprocal multiplies whenever this
+    function fuses into a larger graph — and rdiv always contains its own
+    trigger (two divides by ``b``).  Measured: 198 requant ties flipped
+    eager-vs-jit in one Swin-T block through exactly this rewrite.  A single
+    barrier with tuple results cannot be CSE'd back together, and barrier
+    outputs are never constant-folded (which also forecloses the
+    constant-divisor strength reduction).  The barrier carries only the
+    divisor — typically a scalar or [C] vector — so the data path fusion is
+    unaffected.
     """
-    a = jnp.asarray(a, jnp.float32)
-    b = jnp.asarray(b, jnp.float32)
-    q = a / b
-    p = q * b
-    e = _two_product_err(q, b, p)
-    r = (a - p) - e          # a - q*b exactly (a - p is Sterbenz-exact)
-    return q + r / b
+    # _pin both operands: a caller-side product expression would otherwise
+    # contract into the residual subtractions / the split's ``lo = b - bh``
+    # (fma substituting the infinitely-precise product for the rounded
+    # value that the division consumed).
+    a = _pin(jnp.asarray(a, jnp.float32))
+    b = _pin(jnp.asarray(b, jnp.float32))
+    # Structurally distinct divisor copies: XLA's HLO-level shared-divisor
+    # rewrite (x/b, y/b -> recip = 1/b; x*recip, y*recip) would replace
+    # both correctly-rounded divisions with 1-ulp reciprocal multiplies.
+    # (The barrier is deleted before codegen, but the algebraic simplifier
+    # runs while it is still in place, which is where that rewrite lives;
+    # it also forecloses constant-divisor strength reduction.)
+    b1, b2 = jax.lax.optimization_barrier((b, b))
+    q = a / b1
+    # Residual a - q*b built ONLY from exact partial products (12x12-bit
+    # splits): each subtraction's mul operand is exactly representable, so
+    # FMA contraction is value-neutral at every step.  This is Dekker's
+    # long-division residual; each step is exact in round-to-nearest.
+    qh, ql = _split(q)
+    bh, bl = _split(b1)
+    r = (((a - qh * bh) - qh * bl) - ql * bh) - ql * bl
+    return q + r / b2
 
 
 # ---------------------------------------------------------------------------
@@ -209,15 +281,23 @@ def exact_fma(a, b, c):
     Operands are coerced to f32 first (see :func:`rdiv` — a Python-float
     operand would be split in host f64, corrupting the error term).
     """
-    a = jnp.asarray(a, jnp.float32)
-    b = jnp.asarray(b, jnp.float32)
-    c = jnp.asarray(c, jnp.float32)
-    p = a * b
-    e = _two_product_err(a, b, p)
-    s = p + c
-    bp = s - c
-    err_add = (p - bp) + (c - (s - bp))
-    return s + (err_add + e)
+    # _pin all operands (see rdiv) and build the result purely from exact
+    # partial products + TwoSum chains: ``fl(a*b) + c`` as written would
+    # itself be a contraction candidate (fma(a, b, c) — fused where the
+    # semantics require two roundings... except we WANT the fused value,
+    # but only deterministically).  The EFT below computes the correctly
+    # rounded a*b + c from pieces whose every (mul, add) pair is
+    # value-neutral under contraction.
+    a = _pin(jnp.asarray(a, jnp.float32))
+    b = _pin(jnp.asarray(b, jnp.float32))
+    c = _pin(jnp.asarray(c, jnp.float32))
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    s, e1 = _two_sum(c, ah * bh)
+    s, e2 = _two_sum(s, ah * bl)
+    s, e3 = _two_sum(s, al * bh)
+    s, e4 = _two_sum(s, al * bl)
+    return s + ((e1 + e2) + (e3 + e4))
 
 
 @jax.custom_vjp

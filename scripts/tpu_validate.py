@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""One-shot hardware numerics validation (VERDICT round-1 item 1).
+
+The bit-exactness doctrine (ops/quant.py: Dekker rdiv, exact_fma, two-limb
+exact sums) claims sim(eager) == sim(jit) == engine(unfused) ==
+engine(Pallas/Mosaic) — on every backend, with identical bits across
+backends.  This script proves it on hardware:
+
+  # dump per backend (the axon plugin ignores JAX_PLATFORMS env; this
+  # script calls jax.config.update itself):
+  python scripts/tpu_validate.py dump --backend cpu --out /tmp/val_cpu.pkl
+  python scripts/tpu_validate.py dump --backend tpu --out /tmp/val_tpu.pkl
+  # then compare bitwise:
+  python scripts/tpu_validate.py compare /tmp/val_cpu.pkl /tmp/val_tpu.pkl
+
+Each dump runs the four BASELINE family configs at full model size
+(DeiT-T 224 for vit families, Swin-T 224), records the calibrated
+quant_stats fingerprint, sim logits (jit), engine logits (unfused and
+Pallas), and reports within-backend cross-path diffs.  ``compare`` then
+checks the cross-backend bits.  Exit code 0 = everything bit-identical.
+"""
+
+import argparse
+import pickle
+import sys
+
+sys.path.insert(0, ".")
+
+
+CONFIGS = [
+    ("deit_tiny_ivit", "deit_tiny_patch16_224", ("ivit", "ivit", "ivit")),
+    ("deit_tiny_ibert", "deit_tiny_patch16_224", ("ibert", "ibert", "ibert")),
+    ("deit_tiny_mixed", "deit_tiny_patch16_224", ("ivit", "ibert", "ibert")),
+    ("swin_tiny_ivit", "swin_tiny_patch4_window7_224",
+     ("ivit", "ivit", "ivit")),
+]
+
+
+def build(name, families, rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ivit_tpu.models import str2model
+
+    kw = dict(gelu_type=families[0], softmax_type=families[1],
+              layernorm_type=families[2])
+    if name.startswith("swin"):
+        kw["drop_path_rate"] = 0.0
+    model = str2model(name)(**kw)
+    x = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
+    variables = jax.jit(lambda a: model.init(
+        jax.random.PRNGKey(0), a, running_stat=True))(x)
+    calib = jax.jit(lambda v, a: model.apply(
+        v, a, running_stat=True, mutable=["quant_stats"]))
+    qs = variables["quant_stats"]
+    for _ in range(2):
+        xb = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
+        _, st = calib({"params": variables["params"], "quant_stats": qs}, xb)
+        qs = st["quant_stats"]
+    return model, {"params": variables["params"], "quant_stats": qs}, x
+
+
+def dump(args):
+    import jax
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # tpu: leave the default so the axon plugin resolves itself
+    import numpy as np
+
+    out = {"backend": args.backend}
+    for cname, mname, families in CONFIGS:
+        rng = np.random.default_rng(0)
+        model, variables, x = build(mname, families, rng)
+        rec = {}
+        # calibrated-range fingerprint: scales must match across backends
+        leaves = jax.tree_util.tree_leaves(
+            jax.device_get(variables["quant_stats"]))
+        rec["qstats"] = np.concatenate([np.ravel(v) for v in leaves])
+
+        sim = np.asarray(jax.jit(lambda v, a: model.apply(
+            v, a, running_stat=False))(variables, x))
+        rec["sim"] = sim
+        if mname.startswith("swin"):
+            from ivit_tpu.engine.swin_int import (freeze_swin_model,
+                                                  swin_engine_forward)
+            spec = freeze_swin_model(model, variables)
+            fwd = swin_engine_forward
+        else:
+            from ivit_tpu.engine import freeze_model
+            from ivit_tpu.engine.vit_int import engine_forward
+            spec = freeze_model(model, variables)
+            fwd = engine_forward
+        rec["engine"] = np.asarray(jax.jit(
+            lambda a: fwd(spec, a, pallas=False))(x))
+        if args.backend == "tpu":
+            rec["engine_pallas"] = np.asarray(jax.jit(
+                lambda a: fwd(spec, a, pallas=True))(x))
+        d_se = np.abs(rec["sim"] - rec["engine"]).max()
+        line = f"{cname}: sim-vs-engine {d_se:g}"
+        ok = d_se == 0
+        if "engine_pallas" in rec:
+            d_p = np.abs(rec["engine"] - rec["engine_pallas"]).max()
+            line += f"  engine-vs-pallas {d_p:g}"
+            ok = ok and d_p == 0
+        print(("PASS " if ok else "FAIL ") + line, flush=True)
+        out[cname] = rec
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    print(f"wrote {args.out}")
+
+
+def compare(args):
+    import numpy as np
+
+    with open(args.a, "rb") as f:
+        a = pickle.load(f)
+    with open(args.b, "rb") as f:
+        b = pickle.load(f)
+    rc = 0
+    for cname, _, _ in CONFIGS:
+        if cname not in a or cname not in b:
+            print(f"SKIP {cname} (missing)")
+            continue
+        for key in ("qstats", "sim", "engine"):
+            va, vb = a[cname][key], b[cname][key]
+            n_diff = int((va != vb).sum())
+            d = float(np.abs(va - vb).max()) if n_diff else 0.0
+            status = "PASS" if n_diff == 0 else "FAIL"
+            if n_diff:
+                rc = 1
+            print(f"{status} {cname}.{key}: {n_diff}/{va.size} bits differ "
+                  f"(max abs {d:g}) [{a['backend']} vs {b['backend']}]")
+    sys.exit(rc)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pd = sub.add_parser("dump")
+    pd.add_argument("--backend", required=True, choices=["cpu", "tpu"])
+    pd.add_argument("--out", required=True)
+    pd.set_defaults(fn=dump)
+    pc = sub.add_parser("compare")
+    pc.add_argument("a")
+    pc.add_argument("b")
+    pc.set_defaults(fn=compare)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
