@@ -38,8 +38,9 @@ from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
                      _quant_w, _sym_scale, requant_const, requant_multiplier)
 from ..ops.pallas import block as pblk
 from ..ops.quant import exact_int_sum, rdiv
-from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _layernorm_int,
-                      _ln_requant, _requant, _softmax_int, _use_pallas)
+from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _gemm_bias,
+                      _layernorm_int, _ln_requant, _requant, _softmax_int,
+                      _use_pallas)
 
 import dataclasses
 
@@ -328,7 +329,7 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
         yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
     yw = _window_partition_i(yw, ws)            # [B*nW, n, dim] i8
 
-    acc = _dot_i8(yw, blk["qkv_w"]) + blk["qkv_b"]
+    acc = _gemm_bias(yw, blk["qkv_w"], blk["qkv_b"])
     q8 = _requant(acc, blk["m_qkv"], 8)          # [B*nW, n, 3C]
     bw_ = q8.shape[0]
     qkv = q8.reshape(bw_, n, 3, heads, head_dim)
@@ -389,7 +390,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     x = jnp.clip(jnp.round(rdiv(images, p["s_input"])), -128, 127).astype(jnp.int8)
     x = x.reshape(B, grid, ps, grid, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, grid * grid, ps * ps * 3)
-    acc = _dot_i8(x, p["patch"]["w"]) + p["patch"]["b"]
+    acc = _gemm_bias(x, p["patch"]["w"], p["patch"]["b"])
     x = _requant(acc, p["patch"]["m"], 8)
     # patch norm (ivit/ibert core) then qact, then the 16-bit stage input
     y = _layernorm_int(cfg, x, p["patch"]["pn_bias_int"],
@@ -475,11 +476,11 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
             y = _layernorm_int(cfg, x, blk["ln2_bias_int"],
                                blk["ln2_shift"])
             y = _ln_requant(y, blk["s_ln2"], blk["m_ln2"], 8)
-            acc = _dot_i8(y, blk["fc1_w"]) + blk["fc1_b"]
+            acc = _gemm_bias(y, blk["fc1_w"], blk["fc1_b"])
             y = _requant(acc, blk["m_fc1"], 8)
             y = _gelu_int(cfg, blk, _f32(y))
             y = _requant(y, blk["m_gelu"], 8)
-            acc = _dot_i8(y, blk["fc2_w"]) + blk["fc2_b"]
+            acc = _gemm_bias(y, blk["fc2_w"], blk["fc2_b"])
             y = _requant(acc, blk["m_fc2"], 8)
             x = jnp.clip(jnp.round(_f32(y) * blk["m_res2_x"])
                          + jnp.round(_f32(x) * blk["m_res2_id"]),
@@ -492,5 +493,5 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     y = jnp.round(rdiv(exact_int_sum(jnp.swapaxes(_f32(y), 1, 2)),
                        jnp.float32(y.shape[1])))[..., 0]
     y = _requant(y, p["m_pool"], 8)
-    acc = _dot_i8(y, p["head_w"]) + p["head_b"]
+    acc = _gemm_bias(y, p["head_w"], p["head_b"])
     return acc.astype(jnp.float32) * p["head_scale"]

@@ -59,3 +59,27 @@ def test_swin_engine_weights_int8(rng):
     assert blk["qkv_w"].dtype == jnp.int8
     mg = [b for b in spec.params["blocks"] if "merge" in b][0]["merge"]
     assert mg["red_w"].dtype == jnp.int8
+
+
+def test_swin_engine_activation_envelope(rng):
+    """Datapath-sizing audit for the Swin engine (SURVEY §4.3): GEMM
+    accumulators inside the f32-exact envelope (the sim-equality
+    precondition), LN centered values within the two-limb variance bound,
+    requant/residual saturation bounded."""
+    from ivit_tpu.engine.vit_int import audit_capture, audit_violations
+
+    model, variables = build_swin(rng)
+    spec = freeze_swin_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    with audit_capture() as records:
+        y = np.asarray(swin_engine_forward(spec, x, pallas=False))
+    assert np.isfinite(y).all()
+    assert len(records) > 20
+    hard = [r for r in records if "sat_frac" not in r]
+    assert any(r["kind"] == "gemm_acc" for r in hard)
+    bad = audit_violations(hard)
+    assert not bad, bad
+    for r in records:
+        if "sat_frac" in r:
+            assert float(r["sat_frac"]) <= 0.05, \
+                (r["site"], float(r["sat_frac"]))
