@@ -1,0 +1,42 @@
+#!/bin/bash
+# One-shot TPU measurement session (VERDICT round-1 items 1+2).
+# Run when the axon tunnel is alive.  Tolerates tunnel wedges: every step
+# under timeout, 20s sleep + one retry (CLAUDE.md doctrine).
+# Produces: runs/val_tpu.pkl (+ bitwise compare vs the CPU golden),
+# BENCH_MATRIX.json with SoL + fusion fields, and a bench.py line.
+set -u
+cd "$(dirname "$0")/.."
+LOG=runs/tpu_session.log
+note() { echo "$(date -Is) $*" | tee -a "$LOG"; }
+
+run_step() {  # name timeout_s cmd...
+    local name=$1 to=$2; shift 2
+    for attempt in 1 2; do
+        note "START $name (attempt $attempt)"
+        timeout "$to" "$@" >> "$LOG" 2>&1
+        rc=$?
+        note "END $name rc=$rc"
+        [ $rc -eq 0 ] && return 0
+        sleep 20
+    done
+    return 1
+}
+
+note "=== TPU session begin ==="
+run_step probe 180 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+print((jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready().sum())
+" || { note "TPU unreachable; aborting"; exit 1; }
+
+# 1. bitwise numerics validation vs the checked-in CPU golden
+run_step validate_dump 3600 python scripts/tpu_validate.py dump --backend tpu --out runs/val_tpu.pkl
+run_step validate_compare 300 python scripts/tpu_validate.py compare runs/val_cpu.pkl runs/val_tpu.pkl
+
+# 2. full benchmark matrix with speed-of-light accounting
+run_step bench_matrix 5400 python scripts/bench_matrix.py --sol --out BENCH_MATRIX.json
+
+# 3. headline driver metric
+run_step bench 1800 python bench.py
+
+note "=== TPU session done ==="
