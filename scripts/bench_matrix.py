@@ -62,6 +62,49 @@ def vit_gemm_sites(ec, batch):
     }, total
 
 
+def swin_gemm_sites(ec, batch):
+    """Per-site int-op counts for the Swin engine at ``batch``.
+
+    Window attention fuses into ``swin_attn_block_kernel``; lane-aligned
+    FFN halves into ``mlp_block_kernel``; everything else (patch embed,
+    merges, non-aligned FFNs, head) runs as XLA dots.
+    """
+    B = batch
+    grid = ec.img_size // ec.patch_size
+    ws = ec.window_size
+    attn_ops = 0
+    mlp_fused = 0
+    mlp_unfused = 0
+    xla = 2 * B * grid * grid * (ec.patch_size**2 * 3) * ec.embed_dim
+    for i, depth in enumerate(ec.depths):
+        dim = ec.embed_dim * 2**i
+        res = grid // 2**i
+        w = min(ws, res)
+        n = w * w
+        nw = (res // w) ** 2
+        heads = ec.stage_heads[i]
+        hd = dim // heads
+        per_blk_attn = (2 * B * nw * n * dim * 3 * dim          # qkv
+                        + 2 * B * nw * heads * n * n * hd * 2   # scores+ctx
+                        + 2 * B * nw * n * dim * dim)           # proj
+        per_blk_mlp = 2 * 2 * B * res * res * dim * int(ec.mlp_ratio * dim)
+        attn_ops += depth * per_blk_attn
+        if dim % 128 == 0:
+            mlp_fused += depth * per_blk_mlp
+        else:
+            mlp_unfused += depth * per_blk_mlp
+        if i < len(ec.depths) - 1:
+            xla += 2 * B * (res // 2) ** 2 * (4 * dim) * (2 * dim)  # merge
+    xla += 2 * B * ec.embed_dim * 2**(len(ec.depths) - 1) * ec.num_classes
+    total = attn_ops + mlp_fused + mlp_unfused + xla
+    return {
+        "swin_attn_block_kernel": (["swin_attn_block_kernel"], attn_ops),
+        "mlp_block_kernel": (["mlp_block_kernel"], mlp_fused),
+        "xla_gemms": (["dot", "fusion", "convolution"],
+                      xla + mlp_unfused),
+    }, total
+
+
 def bench_config(cfg, batch, iters, sol=False):
     import jax
     import jax.numpy as jnp
@@ -127,12 +170,9 @@ def bench_config(cfg, batch, iters, sol=False):
         if device_us <= 0:
             rec["sol"] = {"error": "no device ops in trace "
                                    "(profiler device plane is TPU-only)"}
-        elif is_swin:
-            rec["sol"] = {"model_total": {
-                "us": round(device_us, 1),
-                "note": "per-site split pending fused swin kernels"}}
         else:
-            sites, total_ops = vit_gemm_sites(spec.config, batch)
+            sites, total_ops = (swin_gemm_sites if is_swin
+                                else vit_gemm_sites)(spec.config, batch)
             table = sol_table(ops, sites, peak)
             table["model_total"] = {
                 "us": round(device_us, 1),
