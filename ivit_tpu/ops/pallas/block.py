@@ -311,6 +311,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid)
     scores_ref[...] = probs_all
 
+    prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
     for ti in range(t):
         rows = slice(ti * np_, (ti + 1) * np_)
         for h in range(num_heads):
@@ -318,7 +319,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             srows = slice((ti * num_heads + h) * np_,
                           (ti * num_heads + h + 1) * np_)
             ctx_h = jax.lax.dot_general(
-                scores_ref[srows, :].astype(jnp.int8), v_h,
+                scores_ref[srows, :].astype(prob_dtype), v_h,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [Np, Dh]
             ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
@@ -453,6 +454,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         probs = _ibert_softmax(scores_ref[...], s_attn, s_exp_act, sm_bit, n)
     scores_ref[...] = probs
 
+    prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
     for w in range(wt):
         rows = slice(w * n, (w + 1) * n)
         for h in range(num_heads):
@@ -460,7 +462,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             srows = slice((w * num_heads + h) * n,
                           (w * num_heads + h + 1) * n)
             ctx_h = jax.lax.dot_general(
-                scores_ref[srows, :].astype(jnp.int8), v_h,
+                scores_ref[srows, :].astype(prob_dtype), v_h,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [n, hd]
             ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(

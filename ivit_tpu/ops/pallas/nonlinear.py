@@ -85,35 +85,19 @@ def _pow2(k):
     return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 
 
-def _floor_div(x, d, r_d):
-    """Exact floor(x/d) for the shift-exp quotient, division-free (7 VPU ops).
-
-    Preconditions (guaranteed at the call sites): ``x <= 0``, ``d < 0``
-    integers, so the true quotient ``t = x/d >= 0``.  ``q0 = floor(x*r_d +
-    2**-13)`` overshoots by at most one (the +eps dominates the <=t*2**-23
-    reciprocal error, making undershoot impossible); a positive remainder
-    detects and removes the overshoot.  Exact for every scale.
-    """
-    q0 = jnp.floor(x * r_d + 2.0**-13)
-    r0 = x - d * q0
-    return q0 - (r0 > 0).astype(x.dtype)
-
-
 def _int_exp_shift(x_int, scaling_factor, n):
     """ivit int_exp_shift on f32-held ints (ivit_modules.py:89-103).
 
-    Division-free: /2 and /16 are exact power-of-two multiplies; the
-    quotient by x0 uses the multiply-and-correct trick above.
+    /2 and /16 are exact power-of-two multiplies.
     """
     x_int = x_int + jnp.floor(x_int * 0.5) - jnp.floor(x_int * 0.0625)
     x0_int = jnp.floor(_rdiv(-1.0, scaling_factor))
     x_int = jnp.maximum(x_int, n * x0_int)
     # floor of the correctly-rounded quotient — the reference's semantic
     # (torch floor(x/x0)) and bit-identical to the engine's
-    # ivit_ops.int_exp_shift.  The former multiply-and-correct _floor_div
-    # computed the TRUE floor instead, which differs at quotients within
-    # one f32 ulp of an integer (observed: single-element gelu flips on
-    # full-size Swin).
+    # ivit_ops.int_exp_shift.  (A multiply-and-correct exact floor is ~3x
+    # cheaper but computes the TRUE floor, which differs at quotients
+    # within one f32 ulp of an integer.)
     q = jnp.floor(_rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int = r * 0.5 - x0_int
@@ -142,12 +126,13 @@ def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
     exp_sum = jnp.minimum(_int_sum(exp_int), INT32_MAX)
     factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     probs = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
-    o_ref[...] = probs.astype(jnp.int8)
+    o_ref[...] = probs.astype(o_ref.dtype)
 
 
 def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
                n_valid=None, tile_rows: int = 1024, interpret: bool = False):
-    """Fused Shiftmax: int8 scores [.., N] -> int8 probs, one VMEM pass."""
+    """Fused Shiftmax: int8 scores [.., N] -> intN probs, one VMEM pass."""
+    odtype = jnp.int8 if output_bit <= 8 else jnp.int16
     shape = scores_int8.shape
     n = shape[-1]
     n_valid = n if n_valid is None else n_valid
@@ -160,7 +145,7 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
         functools.partial(_shiftmax_kernel, output_bit=output_bit,
                           n_valid=n_valid),
         name="shiftmax_kernel",
-        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((rows, n), odtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, n), lambda i: (i, 0),
