@@ -303,8 +303,8 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     if sm not in ("ivit", "ibert"):
         attn_reasons.append(f"softmax family {sm!r} has no fused kernel")
     if cfg.bitwidths.softmax > 8:
-        attn_reasons.append(f"softmax_bw={cfg.bitwidths.softmax} "
-                            "(fused kernel carries int8 probs)")
+        attn_reasons.append(f"softmax_bw={cfg.bitwidths.softmax} (int16-prob "
+                            "kernels await Mosaic int16-dot validation)")
     fuse_attn = (on and ln in ("ivit", "ibert") and not attn_reasons)
     dims = [cfg.embed_dim * 2**i for i in range(len(cfg.depths))]
     stages = {f"stage{i}(dim={d})": bool(fuse_mlp and d % 128 == 0)

@@ -120,8 +120,9 @@ def fusion_report(cfg, pallas=None) -> dict:
     if ln not in ("ivit", "ibert"):
         reasons.append(f"ln family {ln!r} has no fused block kernel")
     if cfg.bitwidths.softmax > 8:
-        reasons.append(f"softmax_bw={cfg.bitwidths.softmax} "
-                       "(block kernels carry int8 probs)")
+        reasons.append(f"softmax_bw={cfg.bitwidths.softmax} (int16-prob "
+                       "kernels await Mosaic int16-dot hardware validation; "
+                       "bit-exact in interpret mode — test_pallas.py)")
     fused_blocks = on and not reasons
     return {
         "fused_blocks": fused_blocks,
@@ -326,7 +327,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                   and cfg.base_type("softmax") in ("ivit", "ibert")
                   and cfg.base_type("gelu") in ("ivit", "ibert")
                   and cfg.base_type("ln") in ("ivit", "ibert")
-                  and bw.softmax <= 8)   # kernels carry int8 probs
+                  and bw.softmax <= 8)   # see fusion_report
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
     # input quantization (SymmetricQuantFunction on the raw image)
