@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .quant import mul_add_2r
+
 ACCUMULATOR_BITWIDTH = 32
 
 
@@ -280,5 +282,8 @@ def eval_piecewise_poly(x_int, bounds, coeffs):
 
     r = c[..., 0]
     for k in range(1, coeffs.shape[1]):
-        r = r * x_int + c[..., k]
+        # two-rounding mul-add: a bare r*x + c contracts into an FMA under
+        # jit (integer coefficients reach 2**22, so the product is inexact
+        # and the fused value differs) — ops/quant.py doctrine
+        r = mul_add_2r(r, x_int, c[..., k])
     return r

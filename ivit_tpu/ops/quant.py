@@ -62,6 +62,18 @@ def _pin(v):
     return (v - c) + c
 
 
+def mul_add_2r(a, b, c):
+    """Two-rounding ``fl(fl(a*b) + c)``, deterministic in every context.
+
+    The reference evaluates its polynomial Horner steps as separate f32
+    multiply and add (torch eager), so parity requires the TWO-rounding
+    value — but a bare ``a*b + c`` contracts into a one-rounding FMA under
+    jit whenever the product is inexact.  Pinning the product forces the
+    add to see the rounded value everywhere.
+    """
+    return _pin(a * b) + c
+
+
 def _two_sum(x, y):
     """Knuth TwoSum: s = fl(x+y) and its exact error, add/sub ops only."""
     s = x + y
