@@ -154,9 +154,14 @@ def rdiv(a, b):
     # _pin both operands: a caller-side product expression would otherwise
     # contract into the residual subtractions / the split's ``lo = b - bh``
     # (fma substituting the infinitely-precise product for the rounded
-    # value that the division consumed).
-    a = _pin(jnp.asarray(a, jnp.float32))
-    b = _pin(jnp.asarray(b, jnp.float32))
+    # value that the division consumed).  Operands are lifted to >=2-D
+    # first: the bitmask split bitcasts, and Mosaic (Pallas TPU, whose
+    # kernels share this function) only lowers vector bitcasts.
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    out_shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+    a = _pin(a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
+    b = _pin(b.reshape((1,) * max(0, 2 - b.ndim) + b.shape))
     # Structurally distinct divisor copies: XLA's HLO-level shared-divisor
     # rewrite (x/b, y/b -> recip = 1/b; x*recip, y*recip) would replace
     # both correctly-rounded divisions with 1-ulp reciprocal multiplies.
@@ -172,7 +177,7 @@ def rdiv(a, b):
     qh, ql = _split(q)
     bh, bl = _split(b1)
     r = (((a - qh * bh) - qh * bl) - ql * bh) - ql * bl
-    return q + r / b2
+    return (q + r / b2).reshape(out_shape)
 
 
 # ---------------------------------------------------------------------------
@@ -300,16 +305,21 @@ def exact_fma(a, b, c):
     # but only deterministically).  The EFT below computes the correctly
     # rounded a*b + c from pieces whose every (mul, add) pair is
     # value-neutral under contraction.
-    a = _pin(jnp.asarray(a, jnp.float32))
-    b = _pin(jnp.asarray(b, jnp.float32))
-    c = _pin(jnp.asarray(c, jnp.float32))
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    out_shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b),
+                                     jnp.shape(c))
+    a = _pin(a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
+    b = _pin(b.reshape((1,) * max(0, 2 - b.ndim) + b.shape))
+    c = _pin(c.reshape((1,) * max(0, 2 - c.ndim) + c.shape))
     ah, al = _split(a)
     bh, bl = _split(b)
     s, e1 = _two_sum(c, ah * bh)
     s, e2 = _two_sum(s, ah * bl)
     s, e3 = _two_sum(s, al * bh)
     s, e4 = _two_sum(s, al * bl)
-    return s + ((e1 + e2) + (e3 + e4))
+    return (s + ((e1 + e2) + (e3 + e4))).reshape(out_shape)
 
 
 @jax.custom_vjp
