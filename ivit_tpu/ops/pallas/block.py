@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import _interp
+from . import _interp, _kernel_trace
 
 from .nonlinear import (_exact_fma, _int_exp_shift, _int_sum,
                         _pow2, _rdiv, _sq_sum)
@@ -192,35 +192,37 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
     ])
 
-    out = pl.pallas_call(
-        functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
-                          mlp_bits=mlp_bits, out_bits=out_bits),
-        name="mlp_block_kernel",
-        out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interp(interpret),
-    )(x_int,
-      ln_bias.astype(jnp.float32).reshape(1, c),
-      s_ln.astype(jnp.float32).reshape(1, c),
-      m_ln.astype(jnp.float32).reshape(1, c),
-      fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
-      fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
-      scalars)
+    interp = _interp(interpret)
+    with _kernel_trace(interp):
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
+                              mlp_bits=mlp_bits, out_bits=out_bits),
+            name="mlp_block_kernel",
+            out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(x_int,
+          ln_bias.astype(jnp.float32).reshape(1, c),
+          s_ln.astype(jnp.float32).reshape(1, c),
+          m_ln.astype(jnp.float32).reshape(1, c),
+          fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
+          fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
+          scalars)
     return out
 
 
@@ -364,40 +366,42 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
-                          num_heads=num_heads,
-                          n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
-                          out_bits=out_bits, attn_bits=attn_bits),
-        name="attn_block_kernel",
-        out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8),
-                        pltpu.VMEM((t * num_heads * np_, np_), jnp.float32)],
-        interpret=_interp(interpret),
-    )(x_int,
-      ln_bias.astype(jnp.float32).reshape(1, c),
-      s_ln.astype(jnp.float32).reshape(1, c),
-      m_ln.astype(jnp.float32).reshape(1, c),
-      qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
-      proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
-      scalars)
+    interp = _interp(interpret)
+    with _kernel_trace(interp):
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
+                              num_heads=num_heads,
+                              n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
+                              out_bits=out_bits, attn_bits=attn_bits),
+            name="attn_block_kernel",
+            out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8),
+                            pltpu.VMEM((t * num_heads * np_, np_), jnp.float32)],
+            interpret=interp,
+        )(x_int,
+          ln_bias.astype(jnp.float32).reshape(1, c),
+          s_ln.astype(jnp.float32).reshape(1, c),
+          m_ln.astype(jnp.float32).reshape(1, c),
+          qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
+          proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
+          scalars)
     return out
 
 
@@ -531,47 +535,49 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
         (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
-    out = pl.pallas_call(
-        functools.partial(_swin_attn_kernel, ln_base=ln_base,
-                          sm_base=sm_base, num_heads=num_heads,
-                          sm_bit=sm_bit, mask_per_win=mask_per_win),
-        name="swin_attn_block_kernel",
-        out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            mask_spec,
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.int8),
-                        pltpu.VMEM((wt * num_heads * n, n), jnp.float32)],
-        interpret=_interp(interpret),
-    )(xw,
-      ln_bias.astype(jnp.float32).reshape(1, c),
-      s_ln.astype(jnp.float32).reshape(1, c),
-      m_ln.astype(jnp.float32).reshape(1, c),
-      qkv_w, qkv_b.reshape(1, 3 * c),
-      m_qkv.astype(jnp.float32).reshape(1, 3 * c),
-      rel_addend.astype(jnp.float32),
-      mask,
-      proj_w, proj_b.reshape(1, c),
-      m_proj.astype(jnp.float32).reshape(1, c),
-      scalars)
+    interp = _interp(interpret)
+    with _kernel_trace(interp):
+        out = pl.pallas_call(
+            functools.partial(_swin_attn_kernel, ln_base=ln_base,
+                              sm_base=sm_base, num_heads=num_heads,
+                              sm_bit=sm_bit, mask_per_win=mask_per_win),
+            name="swin_attn_block_kernel",
+            out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                mask_spec,
+                pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.int8),
+                            pltpu.VMEM((wt * num_heads * n, n), jnp.float32)],
+            interpret=interp,
+        )(xw,
+          ln_bias.astype(jnp.float32).reshape(1, c),
+          s_ln.astype(jnp.float32).reshape(1, c),
+          m_ln.astype(jnp.float32).reshape(1, c),
+          qkv_w, qkv_b.reshape(1, 3 * c),
+          m_qkv.astype(jnp.float32).reshape(1, 3 * c),
+          rel_addend.astype(jnp.float32),
+          mask,
+          proj_w, proj_b.reshape(1, c),
+          m_proj.astype(jnp.float32).reshape(1, c),
+          scalars)
     return out

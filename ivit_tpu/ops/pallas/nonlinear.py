@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import _interp
+from . import _interp, _kernel_trace
 
 INT32_MAX = 2.0**31 - 1
 
@@ -141,21 +141,23 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
     tile = min(tile_rows, rows)
     grid = (pl.cdiv(rows, tile),)
     s = jnp.reshape(s_attn, (1,)).astype(jnp.float32)
-    out = pl.pallas_call(
-        functools.partial(_shiftmax_kernel, output_bit=output_bit,
-                          n_valid=n_valid),
-        name="shiftmax_kernel",
-        out_shape=jax.ShapeDtypeStruct((rows, n), odtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interp(interpret),
-    )(x, s)
+    interp = _interp(interpret)
+    with _kernel_trace(interp):
+        out = pl.pallas_call(
+            functools.partial(_shiftmax_kernel, output_bit=output_bit,
+                              n_valid=n_valid),
+            name="shiftmax_kernel",
+            out_shape=jax.ShapeDtypeStruct((rows, n), odtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(x, s)
     return out.reshape(shape)
 
 
@@ -199,19 +201,21 @@ def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
         jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702,
         jnp.reshape(m_out, ()).astype(jnp.float32),
     ])
-    out = pl.pallas_call(
-        functools.partial(_shift_gelu_kernel, output_bit=output_bit, n=n,
-                          out_bits=out_bits),
-        name="shift_gelu_kernel",
-        out_shape=jax.ShapeDtypeStruct((rows, h), jnp.int8),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, h), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interp(interpret),
-    )(x, scalars)
+    interp = _interp(interpret)
+    with _kernel_trace(interp):
+        out = pl.pallas_call(
+            functools.partial(_shift_gelu_kernel, output_bit=output_bit, n=n,
+                              out_bits=out_bits),
+            name="shift_gelu_kernel",
+            out_shape=jax.ShapeDtypeStruct((rows, h), jnp.int8),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, h), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(x, scalars)
     return out.reshape(shape)

@@ -37,6 +37,14 @@ F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 _PIN = float.fromhex("0x1p-126")  # smallest normal f32
 
+# Trace-time switch: ops/pallas._kernel_trace sets this False while tracing
+# a kernel body for real Mosaic compilation — Mosaic has no lowering rule
+# for lax.optimization_barrier, and none of the XLA HLO rewrites the
+# barriers defend against run inside Mosaic.  The barrier-free forms are
+# value-identical (the pin is an exact identity; the divisor copies carry
+# the same value).
+_BARRIERS = True
+
 
 def _pin(v):
     """Materialize ``v``'s rounded value against FMA contraction.
@@ -58,7 +66,8 @@ def _pin(v):
     deleted only after all algebraic passes, and LLVM cannot reassociate
     floats without fast-math, so the pin survives to machine code.
     """
-    c = jax.lax.optimization_barrier(jnp.float32(_PIN))
+    c = (jax.lax.optimization_barrier(jnp.float32(_PIN))
+         if _BARRIERS else jnp.float32(_PIN))
     return (v - c) + c
 
 
@@ -168,7 +177,10 @@ def rdiv(a, b):
     # (The barrier is deleted before codegen, but the algebraic simplifier
     # runs while it is still in place, which is where that rewrite lives;
     # it also forecloses constant-divisor strength reduction.)
-    b1, b2 = jax.lax.optimization_barrier((b, b))
+    if _BARRIERS:
+        b1, b2 = jax.lax.optimization_barrier((b, b))
+    else:
+        b1 = b2 = b
     q = a / b1
     # Residual a - q*b built ONLY from exact partial products (12x12-bit
     # splits): each subtraction's mul operand is exactly representable, so
