@@ -126,39 +126,30 @@ def _two_product_err(x, y, p):
 def rdiv(a, b):
     """Correctly-rounded f32 division, bit-stable in every compilation context.
 
-    Two problems with plain ``a / b``:
-    * TPU XLA lowers f32 division as reciprocal-multiply that is ~1 ulp
-      sloppy (measured: 35% of integer-ratio quotients differ from the
-      correctly rounded result) — flipping the scheme's floor/round
-      constructs at boundaries (~1e-5 of on-device weight quantizations).
-    * a naive Newton correction ``q + (a - q*b)/b`` is only exact when the
-      compiler contracts ``q*b`` into an FMA.  XLA does that under jit but
-      NOT in eager op-by-op dispatch, so the same expression returned
-      different bits in different contexts — which is how the round-1
-      sim-vs-engine 0.12 rel error on deep models was born (each flipped
-      tie is a full quant step, compounding over 12 blocks).
+    Use for every division that feeds a floor/round.  Hazards this
+    construction defeats (each one measured, not hypothesized — see git
+    history and the round-2 commit messages):
 
-    Here the residual ``r = a - q*b`` is computed exactly via the Dekker
-    two-product (contraction-immune by construction), so ``q + r/b`` is the
-    correctly rounded quotient everywhere: CPU/TPU, eager/jit, any fusion.
-    Use for every division that feeds a floor/round.
+    * TPU XLA lowers f32 division as a reciprocal-multiply that is ~1 ulp
+      sloppy (35% of integer-ratio quotients differ from correctly
+      rounded), flipping the scheme's floor/round constructs at boundaries.
+      The one-Newton-step correction with an EXACT residual repairs any
+      1-2-ulp quotient.
+    * XLA's HLO shared-divisor rewrite turns ``x/b, y/b`` into
+      ``recip = 1/b; x*recip, y*recip`` — and rdiv always contains its own
+      trigger (two divides by ``b``).  Structurally distinct
+      optimization_barrier copies of ``b`` prevent the pattern match (198
+      requant ties flipped eager-vs-jit in one Swin-T block through this).
+    * LLVM FMA contraction (which survives barrier deletion at codegen)
+      eats (mul, add/sub) pairs: the classic Veltkamp split and the
+      ``a - fl(q*b)`` residual both break under it.  Hence the bitmask
+      :func:`_split` and a residual built ONLY from exact 12x12-bit partial
+      products (Dekker's long-division residual — contraction of an exact
+      product is value-neutral), plus :func:`_pin` on both operands so
+      caller-side product expressions cannot contract into the residual.
 
-    Operands are coerced to f32 first: a Python-float divisor would have its
-    Veltkamp split evaluated in host f64 (hi == b, lo == 0), silently
-    degrading the correction to ~1 ulp noise in eager dispatch only.
-
-    The two divisions go through structurally distinct
-    ``optimization_barrier`` results: XLA's shared-divisor rewrite
-    (``x/b, y/b -> recip = 1/b; x*recip, y*recip``) otherwise replaces BOTH
-    correctly-rounded divides with 1-ulp reciprocal multiplies whenever this
-    function fuses into a larger graph — and rdiv always contains its own
-    trigger (two divides by ``b``).  Measured: 198 requant ties flipped
-    eager-vs-jit in one Swin-T block through exactly this rewrite.  A single
-    barrier with tuple results cannot be CSE'd back together, and barrier
-    outputs are never constant-folded (which also forecloses the
-    constant-divisor strength reduction).  The barrier carries only the
-    divisor — typically a scalar or [C] vector — so the data path fusion is
-    unaffected.
+    Operands are coerced to f32 (a Python-float operand would evaluate in
+    host f64) and lifted to >=2-D (Mosaic lowers only vector bitcasts).
     """
     # _pin both operands: a caller-side product expression would otherwise
     # contract into the residual subtractions / the split's ``lo = b - bh``
