@@ -16,11 +16,12 @@ Swin-specific freeze-time constants:
 * PatchMerging slice/concat is pure integer data movement.
 
 Numerics note: Swin's residual stream is 16-bit, so LayerNorm variances
-(sum of y^2 with y up to 2**16) exceed float32 integer exactness; the
-reduction order then determines the low bits, and XLA fusions, Mosaic
-kernels, and the torch reference (which sums in int64) each round
-differently.  Engine outputs therefore match the QAT sim to ~1e-3 relative
-on 16-bit-LN paths instead of bit-exactly (8-bit paths remain exact).
+(sum of y^2 with y up to 2**16) exceed float32 integer exactness.  The
+two-limb exact reductions (``ops.quant.exact_sq_sum``) make them
+order-independent, and the LN-edge requant replicates the sim's float
+roundtrip (``_ln_requant``), so the engine now matches the QAT sim
+BIT-EXACTLY on 16-bit paths too (tests/test_swin_engine.py asserts
+array equality at full model size).
 """
 
 from __future__ import annotations
