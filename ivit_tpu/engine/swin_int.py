@@ -11,8 +11,8 @@ Swin-specific freeze-time constants:
   (swin_quant.py:142-149); the engine precomputes the whole dyadic-requanted
   [nH, N, N] addend per block,
 * the shifted-window mask as integer offsets ``round(-100 / s_attn)``
-  (swin_quant.py:151-158): the fake-quant graph adds float -100 to exact
-  multiples of the scale, so the integer addend is exact,
+  (swin_quant.py:151-158); the sim quantizes its mask onto the same grid
+  (models/swin.py) so the two addends are bit-identical,
 * PatchMerging slice/concat is pure integer data movement.
 
 Numerics note: Swin's residual stream is 16-bit, so LayerNorm variances
