@@ -16,7 +16,8 @@ Fidelity note: requant multipliers are applied as float32 ``round(z * M)``
 where ``M`` is the correctly-rounded f32 scale ratio — bit-identical to what
 the QAT sim computes on device (``ops/quant.py::_requant_value``), and every
 freeze-time scale product replicates the sim's f32 op sequence, so sim and
-engine agree bit-for-bit (tests/test_engine.py enforces 1e-5 rel).  Vs the
+engine agree bit-for-bit (tests/test_engine.py asserts exact array
+equality).  Vs the
 reference's float64 dyadic evaluation the multiplier is within 2**-24
 relative, flipping rounding only at exact ties (~1e-5 of elements).
 """
