@@ -9,11 +9,39 @@ Runs on whatever jax.devices() provides (the real TPU in the driver).
 
 import json
 import sys
+import threading
 
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """True if jax can reach a backend within the timeout.
+
+    The axon TPU tunnel sometimes hangs indefinitely in backend init
+    (runs/tpu_probe.log documents multi-hour outages); failing fast with a
+    clear message beats a silent driver timeout.
+    """
+    ok = []
+
+    def try_init():
+        try:
+            import jax
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=try_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_backend():
+        print("bench.py: backend init did not complete within 180s "
+              "(TPU tunnel down? see runs/tpu_probe.log)", file=sys.stderr)
+        return 1
     import jax
     import jax.numpy as jnp
 
