@@ -53,8 +53,6 @@ def main():
     if args.distributed:
         jax.distributed.initialize()
 
-    from ivit_tpu.engine import EngineSpec, freeze_model
-    from ivit_tpu.engine.vit_int import engine_forward
     from ivit_tpu.models import str2model
     from ivit_tpu.parallel import batch_sharding, make_mesh, replicated
     from ivit_tpu.utils.benchmarking import time_dispatch
@@ -65,17 +63,30 @@ def main():
     mode = args.mode or ("weak" if jax.default_backend() == "tpu"
                          else "strong")
 
-    model = str2model(args.model)(
-        gelu_type=args.family, softmax_type=args.family,
-        layernorm_type=args.family)
+    is_swin = args.model.startswith("swin")
+    kw = dict(gelu_type=args.family, softmax_type=args.family,
+              layernorm_type=args.family)
+    if is_swin:
+        kw["drop_path_rate"] = 0.0
+    model = str2model(args.model)(**kw)
     rng = np.random.default_rng(0)
     x_cal = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
     variables = jax.jit(lambda a: model.init(
         jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
     _, st = jax.jit(lambda v, a: model.apply(
         v, a, running_stat=True, mutable=["quant_stats"]))(variables, x_cal)
-    spec = freeze_model(model, {"params": variables["params"],
-                                "quant_stats": st["quant_stats"]})
+    frozen = {"params": variables["params"],
+              "quant_stats": st["quant_stats"]}
+    if is_swin:
+        from ivit_tpu.engine.swin_int import (freeze_swin_model,
+                                              swin_engine_forward)
+        spec = freeze_swin_model(model, frozen)
+        engine_forward = swin_engine_forward
+        EngineSpec = type(spec)
+    else:
+        from ivit_tpu.engine import EngineSpec, freeze_model
+        from ivit_tpu.engine.vit_int import engine_forward
+        spec = freeze_model(model, frozen)
 
     results = []
     base_ips = None

@@ -122,3 +122,24 @@ def test_serving_multidevice_mesh(rng):
                        pallas=False) as srv:
         got = srv.infer(images)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_serving_swin_engine(rng):
+    """ServingEngine dispatches by spec type: Swin specs serve through
+    swin_engine_forward (BASELINE matrix: Swin-S serving)."""
+    import jax.numpy as jnp
+    from test_swin_engine import build_swin
+
+    from ivit_tpu.engine.serving import ServingEngine
+    from ivit_tpu.engine.swin_int import (freeze_swin_model,
+                                          swin_engine_forward)
+
+    model, variables = build_swin(rng)
+    spec = freeze_swin_model(model, variables)
+    images = rng.normal(size=(5, 56, 56, 3)).astype(np.float32)
+    want = np.asarray(swin_engine_forward(spec, jnp.asarray(images),
+                                          pallas=False))
+    with ServingEngine(spec, batch_size=4, max_wait_ms=20,
+                       pallas=False) as srv:
+        got = srv.infer(images)
+    np.testing.assert_allclose(got, want, atol=1e-5)
