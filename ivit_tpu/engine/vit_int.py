@@ -200,12 +200,14 @@ def _softmax_int(cfg, blk, scores_int, pallas=None):
     if base == "ivit":
         if _use_pallas(pallas):
             return pk.shiftmax_p(scores_int.astype(jnp.int8),
-                                 blk["s_attn"], bit)
-        probs, _ = ivit_ops.shiftmax_int(_f32(scores_int), blk["s_attn"], bit)
+                                 blk["s_attn"], bit, fast_q=cfg.fast_exp)
+        probs, _ = ivit_ops.shiftmax_int(_f32(scores_int), blk["s_attn"], bit,
+                                         fast_q=cfg.fast_exp)
         return probs.astype(ct)
     if base == "ibert":
         exp_int, _ = ibert_ops.ibert_softmax_exp_int(_f32(scores_int),
-                                                     blk["s_attn"])
+                                                     blk["s_attn"],
+                                                     fast_q=cfg.fast_exp)
         # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311)
         exp16 = jnp.clip(jnp.round(rdiv(exp_int, blk["s_exp_act"])),
                          -(2.0**15), 2.0**15 - 1)
@@ -240,7 +242,8 @@ def _gelu_requant_int(cfg, blk, x_int, out_bits, pallas=None):
     base = cfg.base_type("gelu")
     if base == "ivit" and _use_pallas(pallas):
         return pk.shift_gelu_requant_p(x_int.astype(jnp.int8), blk["s_gelu"],
-                                       blk["m_gelu"], 8, out_bits=out_bits)
+                                       blk["m_gelu"], 8, out_bits=out_bits,
+                                       fast_q=cfg.fast_exp)
     y = _gelu_int(cfg, blk, _f32(x_int))
     return _requant(y, blk["m_gelu"], out_bits)
 
@@ -248,7 +251,8 @@ def _gelu_requant_int(cfg, blk, x_int, out_bits, pallas=None):
 def _gelu_int(cfg, blk, x_int):
     base = cfg.base_type("gelu")
     if base == "ivit":
-        y_int, _ = ivit_ops.shift_gelu_int(x_int, blk["s_gelu"], 8)
+        y_int, _ = ivit_ops.shift_gelu_int(x_int, blk["s_gelu"], 8,
+                                           fast_q=cfg.fast_exp)
         return y_int
     if base == "ibert":
         y_int, _ = ibert_ops.ibert_gelu_int(x_int, blk["s_gelu"])
@@ -374,7 +378,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
                 attn_bits=8, proj_bits=bw.attention_out,
                 out_bits=bw.norm2_in,
-                out_dtype=_container(bw.norm2_in))
+                out_dtype=_container(bw.norm2_in), fast_exp=cfg.fast_exp)
             xf = x.reshape(B * n_pad, C)
             xf = pblk.mlp_block_p(
                 xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
@@ -386,7 +390,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
                 ln_base=ln_base, gelu_base=gelu_base,
                 mlp_bits=bw.mlp_out, out_bits=bw.att_block_out,
-                out_dtype=_container(bw.att_block_out))
+                out_dtype=_container(bw.att_block_out), fast_exp=cfg.fast_exp)
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)

@@ -26,8 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import (exact_fma, exact_int_sum, exact_sq_sum, floor_ste,
-                    pow2, rdiv, round_ste)
+from .quant import (exact_fma, exact_int_sum, exact_sq_sum, floor_div_int,
+                    floor_ste, pow2, rdiv, round_ste)
 
 # --- GELU (int_erf) constants, ibert_modules.py:192-195 ---
 GELU_K = 1.4142
@@ -54,12 +54,19 @@ def int_polynomial(x_int, scaling_factor):
     return z, EXP_A * scaling_factor**2
 
 
-def int_exp(x_int, scaling_factor, n: int = EXP_N):
-    """I-BERT integer exp via range reduction by -ln2 (ibert:285-295)."""
+def int_exp(x_int, scaling_factor, n: int = EXP_N, fast_q: bool = False):
+    """I-BERT integer exp via range reduction by -ln2 (ibert:285-295).
+
+    ``fast_q``: engine-only divide-free exact quotient (freeze-gated by
+    ``quant.exp_fastdiv_ok``; identical values — see ops/ivit.int_exp_shift).
+    """
     x0_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_X0, scaling_factor)))
     x_int = jnp.maximum(x_int, n * x0_int)
 
-    q = floor_ste(rdiv(x_int, x0_int))
+    if fast_q:
+        q = floor_div_int(x_int, x0_int)
+    else:
+        q = floor_ste(rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int, exp_scale = int_polynomial(r, scaling_factor)
     exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
@@ -101,7 +108,8 @@ def ibert_gelu(x, scaling_factor):
     return y_int * out_scale, out_scale
 
 
-def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None):
+def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None,
+                          fast_q: bool = False):
     """First half of I-BERT softmax on integer tensors (ibert:304-309).
 
     ``n_valid``: padded columns (token-aligned engine layout) are excluded
@@ -114,7 +122,7 @@ def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None):
         x_int = jnp.where(mask, x_int, -(2.0**23))
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
-    exp_int, exp_scale = int_exp(x_int, scaling_factor)
+    exp_int, exp_scale = int_exp(x_int, scaling_factor, fast_q=fast_q)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     return exp_int, exp_scale

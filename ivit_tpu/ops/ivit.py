@@ -29,25 +29,33 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import (exact_int_sum, exact_sq_sum, floor_ste, pow2, rdiv,
-                    round_ste)
+from .quant import (exact_int_sum, exact_sq_sum, floor_div_int, floor_ste,
+                    pow2, rdiv, round_ste)
 
 INT32_MAX = 2.0**31 - 1
 
 
-def int_exp_shift(x_int, scaling_factor, n: int):
+def int_exp_shift(x_int, scaling_factor, n: int, fast_q: bool = False):
     """Shift-based integer exp: 2**(x * log2 e) by quotient/remainder split.
 
     Mirrors ivit_modules.py:89-103 (GELU, n=23) and :150-162 (softmax, n=15).
     ``x_int`` is an integer-valued float tensor (<= 0 after max subtraction),
     ``scaling_factor`` its positive scale.  Returns (exp_int, scale / 2**n).
+
+    ``fast_q`` (engine-only, freeze-gated by ``quant.exp_fastdiv_ok``):
+    compute the per-element quotient with the divide-free exact
+    ``floor_div_int`` — identical values, ~3x cheaper on the VPU.  The QAT
+    sim keeps the rdiv form (its STE gradient path).
     """
     x_int = x_int + floor_ste(x_int / 2) - floor_ste(x_int / 2**4)
 
     x0_int = jax.lax.stop_gradient(jnp.floor(rdiv(-1.0, scaling_factor)))
     x_int = jnp.maximum(x_int, n * x0_int)
 
-    q = floor_ste(rdiv(x_int, x0_int))
+    if fast_q:
+        q = floor_div_int(x_int, x0_int)
+    else:
+        q = floor_ste(rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int = r / 2 - x0_int
     exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
@@ -63,7 +71,8 @@ def _pad_mask(shape, n_valid):
     return col < n_valid
 
 
-def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
+def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None,
+                 fast_q: bool = False):
     """Shiftmax core (ivit_modules.py:164-179) on integer tensors.
 
     Returns ``(probs_int, out_scale)`` with probs in [0, 2**(bit-1)] and
@@ -79,7 +88,7 @@ def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
 
-    exp_int, _ = int_exp_shift(x_int, scaling_factor, n=15)
+    exp_int, _ = int_exp_shift(x_int, scaling_factor, n=15, fast_q=fast_q)
     if n_valid is not None and n_valid != x_int.shape[-1]:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_int_sum = jnp.minimum(exact_int_sum(exp_int), INT32_MAX)
@@ -90,7 +99,8 @@ def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None):
     return probs_int, out_scale
 
 
-def shift_gelu_int(pre_x_int, scaling_factor, output_bit: int = 8, n: int = 23):
+def shift_gelu_int(pre_x_int, scaling_factor, output_bit: int = 8, n: int = 23,
+                   fast_q: bool = False):
     """ShiftGELU core (ivit_modules.py:105-126) on integer tensors.
 
     Returns ``(y_int, out_scale)`` with ``out_scale = scale * 2**-(bit-1)``;
@@ -102,8 +112,10 @@ def shift_gelu_int(pre_x_int, scaling_factor, output_bit: int = 8, n: int = 23):
     x_int_max = jnp.max(pre_x_int, axis=-1, keepdims=True)
     x_int = pre_x_int - x_int_max
 
-    exp_int, _ = int_exp_shift(x_int, scaling_factor_sig, n=n)      # e^(x-max)
-    exp_int_max, _ = int_exp_shift(-x_int_max, scaling_factor_sig, n=n)  # e^(-max)
+    exp_int, _ = int_exp_shift(x_int, scaling_factor_sig, n=n,
+                               fast_q=fast_q)                        # e^(x-max)
+    exp_int_max, _ = int_exp_shift(-x_int_max, scaling_factor_sig, n=n,
+                                   fast_q=fast_q)                    # e^(-max)
     exp_int_sum = jnp.minimum(exp_int + exp_int_max, INT32_MAX)
 
     factor = floor_ste(rdiv(INT32_MAX, exp_int_sum))

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp, _kernel_trace
 
-from .nonlinear import (_exact_fma, _int_exp_shift, _int_sum,
+from .nonlinear import (_exact_fma, _floor_div_int, _int_exp_shift, _int_sum,
                         _pow2, _rdiv, _sq_sum)
 
 INT32_MAX = 2.0**31 - 1
@@ -43,12 +43,16 @@ _IB_GELU_B = -1.769
 _IB_GELU_C = 1.0 / _IB_GELU_A
 
 
-def _ibert_int_exp(x_int, s):
+def _ibert_int_exp(x_int, s, fast_q=False):
     """I-BERT integer exp core in-kernel (ops/ibert.py int_exp)."""
     x0 = jnp.floor(_rdiv(_IB_EXP_X0, s))
     x_int = jnp.maximum(x_int, _IB_EXP_N * x0)
-    # floor(correctly-rounded quotient), matching ops/ibert.int_exp exactly
-    q = jnp.floor(_rdiv(x_int, x0))
+    # floor(correctly-rounded quotient), matching ops/ibert.int_exp exactly;
+    # fast_q swaps in the freeze-gated divide-free exact form
+    if fast_q:
+        q = _floor_div_int(x_int, x0)
+    else:
+        q = jnp.floor(_rdiv(x_int, x0))
     r = x_int - x0 * q
     b_int = jnp.floor(_rdiv(_IB_EXP_B, s))
     c_int = jnp.floor(_rdiv(_IB_EXP_C, (s * s)))
@@ -116,10 +120,10 @@ def _ln_requant(y, sln, m, bits):
     return _requant(z, m, bits)
 
 
-def _shift_gelu(x, s_sig, output_bit=8, n=23):
+def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
     x_max = jnp.max(x, axis=-1, keepdims=True)
-    exp_int = _int_exp_shift(x - x_max, s_sig, n)
-    exp_max = _int_exp_shift(-x_max, s_sig, n)
+    exp_int = _int_exp_shift(x - x_max, s_sig, n, fast_q)
+    exp_max = _int_exp_shift(-x_max, s_sig, n, fast_q)
     exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
     factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
@@ -128,7 +132,7 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23):
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, gelu_base, mlp_bits, out_bits):
+                ln_base, gelu_base, mlp_bits, out_bits, fast_exp):
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
     m_gelu = sc_ref[1]
@@ -148,7 +152,7 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
 
     if gelu_base == "ivit":
-        g = _shift_gelu(h, s_sig)
+        g = _shift_gelu(h, s_sig, fast_q=fast_exp)
     else:
         g = _ibert_gelu(h, s_sig)   # s_sig carries the raw s_gelu for ibert
     g = _requant(g, m_gelu, 8).astype(jnp.int8)
@@ -170,7 +174,7 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
 def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
                 ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
-                out_dtype=jnp.int8,
+                out_dtype=jnp.int8, fast_exp: bool = False,
                 tile_rows: int = 512, interpret: bool = False):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
@@ -196,7 +200,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     with _kernel_trace(interp):
         out = pl.pallas_call(
             functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
-                              mlp_bits=mlp_bits, out_bits=out_bits),
+                              mlp_bits=mlp_bits, out_bits=out_bits,
+                              fast_exp=fast_exp),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -230,7 +235,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
 # Fused attention half-block
 # ---------------------------------------------------------------------------
 
-def _shiftmax(x, s, output_bit, n_valid):
+def _shiftmax(x, s, output_bit, n_valid, fast_q=False):
     """In-kernel Shiftmax over the last axis with pad-column masking."""
     mask = None
     if n_valid != x.shape[-1]:
@@ -238,7 +243,7 @@ def _shiftmax(x, s, output_bit, n_valid):
         mask = col < n_valid
         x = jnp.where(mask, x, -(2.0**23))
     x_max = jnp.max(x, axis=-1, keepdims=True)
-    exp_int = _int_exp_shift(x - x_max, s, 15)
+    exp_int = _int_exp_shift(x - x_max, s, 15, fast_q)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_sum = jnp.minimum(_int_sum(exp_int), INT32_MAX)
@@ -246,7 +251,7 @@ def _shiftmax(x, s, output_bit, n_valid):
     return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
 
 
-def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
+def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid, fast_q=False):
     """In-kernel I-BERT softmax with the internal 16-bit exp requant."""
     mask = None
     if n_valid != x.shape[-1]:
@@ -254,7 +259,7 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
         mask = col < n_valid
         x = jnp.where(mask, x, -(2.0**23))
     x_max = jnp.max(x, axis=-1, keepdims=True)
-    exp_int = _ibert_int_exp(x - x_max, s)
+    exp_int = _ibert_int_exp(x - x_max, s, fast_q)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp16 = jnp.clip(jnp.round(_rdiv(exp_int, s_exp_act)),
@@ -267,7 +272,7 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid):
 def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads,
-                 n_valid, sm_bit, proj_bits, out_bits, attn_bits):
+                 n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp):
     t, np_, c = x_ref.shape
     dh = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
@@ -308,9 +313,10 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     lim_a = 2.0 ** (attn_bits - 1)
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
     if sm_base == "ivit":
-        probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid)
+        probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid, fast_exp)
     else:
-        probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid)
+        probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid,
+                                   fast_exp)
     scores_ref[...] = probs_all
 
     prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
@@ -344,8 +350,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  m_res_x, m_res_id, num_heads, n_valid,
                  ln_base="ivit", sm_base="ivit", s_exp_act=None,
                  sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
-                 out_dtype=jnp.int8, img_tile: int = 2,
-                 interpret: bool = False):
+                 out_dtype=jnp.int8, fast_exp: bool = False,
+                 img_tile: int = 2, interpret: bool = False):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
@@ -372,7 +378,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
             functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
                               num_heads=num_heads,
                               n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
-                              out_bits=out_bits, attn_bits=attn_bits),
+                              out_bits=out_bits, attn_bits=attn_bits,
+                              fast_exp=fast_exp),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -408,7 +415,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
 def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
                       mproj_ref, sc_ref, o_ref, ctx_ref, scores_ref, *,
-                      ln_base, sm_base, num_heads, sm_bit, mask_per_win):
+                      ln_base, sm_base, num_heads, sm_bit, mask_per_win,
+                      fast_exp):
     wt, n, c = x_ref.shape
     hd = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(wt * n, c)
@@ -453,9 +461,10 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             scores_ref[srows, :] = a
 
     if sm_base == "ivit":
-        probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n)
+        probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n, fast_exp)
     else:
-        probs = _ibert_softmax(scores_ref[...], s_attn, s_exp_act, sm_bit, n)
+        probs = _ibert_softmax(scores_ref[...], s_attn, s_exp_act, sm_bit, n,
+                               fast_exp)
     scores_ref[...] = probs
 
     prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
@@ -492,7 +501,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       m_av, proj_w, proj_b, m_proj, m_res_x, m_res_id,
                       num_heads, n_windows,
                       ln_base="ivit", sm_base="ivit", s_exp_act=None,
-                      sm_bit=8, win_tile: int = 8,
+                      sm_bit=8, fast_exp: bool = False, win_tile: int = 8,
                       interpret: bool = False):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
@@ -540,7 +549,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
         out = pl.pallas_call(
             functools.partial(_swin_attn_kernel, ln_base=ln_base,
                               sm_base=sm_base, num_heads=num_heads,
-                              sm_bit=sm_bit, mask_per_win=mask_per_win),
+                              sm_bit=sm_bit, mask_per_win=mask_per_win,
+                              fast_exp=fast_exp),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,

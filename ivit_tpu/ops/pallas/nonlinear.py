@@ -32,6 +32,7 @@ INT32_MAX = 2.0**31 - 1
 
 
 from ..quant import exact_fma as _quant_exact_fma
+from ..quant import floor_div_int as _floor_div_int
 from ..quant import rdiv as _quant_rdiv
 
 
@@ -85,20 +86,22 @@ def _pow2(k):
     return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 
 
-def _int_exp_shift(x_int, scaling_factor, n):
+def _int_exp_shift(x_int, scaling_factor, n, fast_q=False):
     """ivit int_exp_shift on f32-held ints (ivit_modules.py:89-103).
 
-    /2 and /16 are exact power-of-two multiplies.
+    /2 and /16 are exact power-of-two multiplies.  ``fast_q``: divide-free
+    exact quotient (ops/quant.floor_div_int) — the freeze step gates it on
+    ``exp_fastdiv_ok`` so the value is identical to floor of the correctly-
+    rounded quotient (the reference's torch ``floor(x/x0)`` semantic, which
+    the rdiv form reproduces on every backend).
     """
     x_int = x_int + jnp.floor(x_int * 0.5) - jnp.floor(x_int * 0.0625)
     x0_int = jnp.floor(_rdiv(-1.0, scaling_factor))
     x_int = jnp.maximum(x_int, n * x0_int)
-    # floor of the correctly-rounded quotient — the reference's semantic
-    # (torch floor(x/x0)) and bit-identical to the engine's
-    # ivit_ops.int_exp_shift.  (A multiply-and-correct exact floor is ~3x
-    # cheaper but computes the TRUE floor, which differs at quotients
-    # within one f32 ulp of an integer.)
-    q = jnp.floor(_rdiv(x_int, x0_int))
+    if fast_q:
+        q = _floor_div_int(x_int, x0_int)
+    else:
+        q = jnp.floor(_rdiv(x_int, x0_int))
     r = x_int - x0_int * q
     exp_int = r * 0.5 - x0_int
     return jnp.clip(jnp.floor(exp_int * _pow2(n - q)), 0, None)
@@ -108,7 +111,7 @@ def _int_exp_shift(x_int, scaling_factor, n):
 # Shiftmax (+ optional fused requant of the following QuantAct)
 # ---------------------------------------------------------------------------
 
-def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
+def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid, fast_q):
     x = x_ref[...].astype(jnp.float32)
     s = s_ref[0]
     ncols = x.shape[-1]
@@ -120,7 +123,7 @@ def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
         x = jnp.where(mask, x, -(2.0**23))
     x_max = jnp.max(x, axis=-1, keepdims=True)
     x = x - x_max
-    exp_int = _int_exp_shift(x, s, 15)
+    exp_int = _int_exp_shift(x, s, 15, fast_q)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_sum = jnp.minimum(_int_sum(exp_int), INT32_MAX)
@@ -130,7 +133,8 @@ def _shiftmax_kernel(x_ref, s_ref, o_ref, *, output_bit, n_valid):
 
 
 def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
-               n_valid=None, tile_rows: int = 1024, interpret: bool = False):
+               n_valid=None, tile_rows: int = 1024, interpret: bool = False,
+               fast_q: bool = False):
     """Fused Shiftmax: int8 scores [.., N] -> intN probs, one VMEM pass."""
     odtype = jnp.int8 if output_bit <= 8 else jnp.int16
     shape = scores_int8.shape
@@ -145,7 +149,7 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
     with _kernel_trace(interp):
         out = pl.pallas_call(
             functools.partial(_shiftmax_kernel, output_bit=output_bit,
-                              n_valid=n_valid),
+                              n_valid=n_valid, fast_q=fast_q),
             name="shiftmax_kernel",
             out_shape=jax.ShapeDtypeStruct((rows, n), odtype),
             grid=grid,
@@ -165,14 +169,15 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
 # ShiftGELU fused with the following dyadic requant
 # ---------------------------------------------------------------------------
 
-def _shift_gelu_kernel(x_ref, sc_ref, o_ref, *, output_bit, n, out_bits):
+def _shift_gelu_kernel(x_ref, sc_ref, o_ref, *, output_bit, n, out_bits,
+                       fast_q):
     x = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]          # s_gelu * 1.702
     m_out = sc_ref[1]          # requant multiplier (gelu-out -> next scale)
     x_max = jnp.max(x, axis=-1, keepdims=True)
     xc = x - x_max
-    exp_int = _int_exp_shift(xc, s_sig, n)
-    exp_max = _int_exp_shift(-x_max, s_sig, n)
+    exp_int = _int_exp_shift(xc, s_sig, n, fast_q)
+    exp_max = _int_exp_shift(-x_max, s_sig, n, fast_q)
     exp_sum = jnp.minimum(exp_int + exp_max, INT32_MAX)
     factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
     sigmoid_int = jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
@@ -185,7 +190,8 @@ def _shift_gelu_kernel(x_ref, sc_ref, o_ref, *, output_bit, n, out_bits):
 
 def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
                          n: int = 23, out_bits: int = 8, *,
-                         tile_rows: int = 512, interpret: bool = False):
+                         tile_rows: int = 512, interpret: bool = False,
+                         fast_q: bool = False):
     """Fused ShiftGELU + requant: int8 [.., H] -> int8 on the next scale.
 
     Note: the GELU max-reduction runs over the full last axis (the MLP hidden
@@ -205,7 +211,7 @@ def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
     with _kernel_trace(interp):
         out = pl.pallas_call(
             functools.partial(_shift_gelu_kernel, output_bit=output_bit, n=n,
-                              out_bits=out_bits),
+                              out_bits=out_bits, fast_q=fast_q),
             name="shift_gelu_kernel",
             out_shape=jax.ShapeDtypeStruct((rows, h), jnp.int8),
             grid=grid,

@@ -183,6 +183,60 @@ def rdiv(a, b):
     return (q + r / b2).reshape(out_shape)
 
 
+def floor_div_int(x, b):
+    """Exact ``floor(x / b)`` for f32-held integers — no rounded divide needed.
+
+    The cheap replacement for ``floor(rdiv(x, b))`` on the engine's hot
+    per-element exp chains (ivit ``int_exp_shift``, ibert ``int_exp``):
+    ~6 VPU ops and ZERO divides vs rdiv's ~20 ops + 2 divides.  Semantics:
+    the TRUE integer floor quotient, which equals ``floor(rdiv(x, b))``
+    whenever the divisor passes :func:`exp_fastdiv_ok` (the correctly-
+    rounded quotient can only cross an integer when the true quotient is
+    within half an f32 ulp of it, and integer-ratio quotients keep a gap of
+    at least ``1/|b|``).
+
+    Preconditions (caller-guaranteed; see the gate):
+    * ``x``, ``b`` integer-valued f32 with ``|x|``, ``|b|``, every candidate
+      product ``q*b`` and remainder inside the f32-exact 2**24 envelope;
+    * ``|x / b|`` small enough (< ~2**20) that the sloppy seed quotient is
+      within +-1 of the truth — one correction step then lands it exactly.
+
+    Context hazards (ops/quant.py catalogue) are all value-neutral here, so
+    no pins or barriers are needed: the seed ``x * (1/b)`` may be strength-
+    reduced or 1-ulp sloppy (the correction absorbs any error < 1); the
+    remainder's ``q * b`` is exactly representable, so LLVM FMA contraction
+    substitutes an equal value; the final boolean adjustments are exact
+    small-integer arithmetic in any association order.
+    """
+    b = jnp.asarray(b, jnp.float32)
+    q = jnp.floor(x * (1.0 / b))
+    r = x - q * b                       # exact: q*b and x are f32-exact ints
+    rs = r * jnp.sign(b)
+    q = q - (rs < 0).astype(jnp.float32) + (rs >= jnp.abs(b)).astype(jnp.float32)
+    return q
+
+
+def exp_fastdiv_ok(x0, n: int) -> bool:
+    """Host-side freeze gate: may ``floor_div_int`` replace
+    ``floor(rdiv(x, x0))`` for every ``x`` in ``[n*x0, 0]``?
+
+    ``floor(crdiv(x, x0))`` differs from the true floor only when the true
+    quotient ``t = x/x0`` lies within half an ulp below an integer ``k <= n``
+    (the correctly rounded quotient then lands ON ``k``).  Integer ratios
+    keep ``|t - k| >= 1/|x0|`` when not exact, so the divergence is
+    impossible while ``1/|x0| > ulp(n)/2 = 2**(floor(log2 n) - 24)``.  The
+    gate enforces that with a 2x safety margin; it also bounds every value
+    in :func:`floor_div_int`'s arithmetic (``|x| <= n*|x0| < 2**24``) and
+    the seed-quotient error (``<= n * 2**-22 << 1``).  Fails only for
+    degenerate scales (``s < ~2e-6``); the engine then keeps the rdiv path.
+    """
+    import math
+    x0 = float(x0)
+    if not (x0 < 0 and math.isfinite(x0)):
+        return False
+    return -x0 <= 2.0 ** (23 - int(math.floor(math.log2(n))))
+
+
 # ---------------------------------------------------------------------------
 # Straight-through estimators
 # ---------------------------------------------------------------------------

@@ -154,3 +154,42 @@ def test_rdiv_behavioral_contract(rng):
     ws = (np.maximum(np.abs(w).max(0), 1e-8) / 127).astype(np.float32)
     got = np.asarray(jnp.round(q.rdiv(jnp.asarray(w), jnp.asarray(ws))))
     np.testing.assert_array_equal(got, np.round(w / ws))
+
+
+def test_floor_div_int_matches_floor_rdiv():
+    """The freeze gate's soundness: wherever ``exp_fastdiv_ok`` passes,
+    the divide-free ``floor_div_int`` equals ``floor(rdiv(x, x0))`` for
+    EVERY integer x in the exp chain's clamped domain [n*x0, 0] —
+    exhaustively for small/mid divisors, boundary bands at the gate edge
+    (divergence, if any, can only sit within one quotient ulp of an
+    integer, i.e. next to multiples of x0)."""
+    f = jax.jit(lambda x, b: (q.floor_div_int(x, b),
+                              jnp.floor(q.rdiv(x, b))))
+    for n in (15, 23, 30):
+        for x0 in (-2.0, -7.0, -33.0, -100.0, -917.0, -31415.0):
+            assert q.exp_fastdiv_ok(x0, n)
+            x = jnp.arange(n * x0, 1.0, dtype=jnp.float32)  # exhaustive
+            got, want = f(x, jnp.float32(x0))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for n in (15, 23, 30):
+        edge = -(2.0 ** (23 - int(np.floor(np.log2(n)))))   # gate edge
+        assert q.exp_fastdiv_ok(edge, n)
+        assert not q.exp_fastdiv_ok(4 * edge, n)
+        bands = np.concatenate([np.arange(k * edge - 4, k * edge + 5)
+                                for k in range(n + 1)])
+        bands = bands[(bands <= 0) & (bands >= n * edge)]
+        got, want = f(jnp.asarray(bands, jnp.float32), jnp.float32(edge))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_floor_div_int_true_floor_generic(rng):
+    """floor_div_int == Python's exact integer floor division for generic
+    signs/magnitudes inside its preconditions."""
+    xs = rng.integers(-(2**23), 2**23, size=20000)
+    bs = rng.integers(1, 2**19, size=20000) * rng.choice([-1, 1], size=20000)
+    got = np.asarray(q.floor_div_int(jnp.asarray(xs, jnp.float32),
+                                     jnp.asarray(bs, jnp.float32)))
+    want = xs // bs   # Python/numpy integer floor division: the true floor
+    # restrict to pairs whose |quotient| keeps the seed within +-1
+    ok = np.abs(want) < 2**20
+    np.testing.assert_array_equal(got[ok], want[ok].astype(np.float32))
