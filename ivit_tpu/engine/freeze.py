@@ -331,8 +331,16 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
 
         # gelu output scale by family — f32 op-for-op as the sim's wrappers
         # compute it, so the requant ratio matches the sim bit-for-bit
+        gelu_params = cfg.type_params("gelu")
+        ppoly_float = (gelu_base == "ppoly"
+                       and str(gelu_params.get("backend", "ibert")) != "ibert")
         if gelu_base == "ivit":
             s_gelu_out = np.float32(s_g) / np.float32(2.0**7)  # exact shift
+        elif ppoly_float:
+            # float-backend ppoly: out grid is s / 2**scale_bits
+            # (models/layers.py PPolyGELU, ref ppoly_modules.py:84-92)
+            sb = int(gelu_params.get("scale_bits", 22))
+            s_gelu_out = np.float32(np.float32(s_g) / np.float32(2.0**sb))
         elif gelu_base in ("ibert", "ppoly"):
             # ibert_ops.ibert_gelu_int: s/K -> int_erf's s**2 * A * 2**N ->
             # s * sig / 2 (ops/ibert.py:66-89), every step rounded in f32
@@ -347,6 +355,13 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
             s_gelu_out = np.float32(s_g)
         s_m2 = _act_scale(mq, "qact1", 8)
         blk["m_gelu"] = requant_multiplier(s_gelu_out, s_m2)
+        if gelu_base == "ppoly":
+            # the engine re-floors the poly output onto this grid; computed
+            # HERE (np f32, bit-matching the sim's traced chain) so the
+            # engine never recomputes it in-trace, where XLA's constant
+            # folding can reassociate the two-mul composite (measured 1-ulp
+            # flips when the spec is closed over as a jit constant)
+            blk["gelu_s_out"] = np.float32(s_gelu_out)
 
         fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
         s_mlp_out = _act_scale(mq, "qact2", bw.mlp_out)

@@ -207,8 +207,14 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
                 gq = mq["act"]
                 blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
                 blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
+            gelu_params = cfg.type_params("gelu")
             if cfg.base_type("gelu") == "ivit":
                 s_gelu_out = np.float32(s_g) / np.float32(2.0**7)
+            elif (cfg.base_type("gelu") == "ppoly"
+                  and str(gelu_params.get("backend", "ibert")) != "ibert"):
+                # float-backend ppoly grid (see freeze.py s_gelu_out)
+                sb = int(gelu_params.get("scale_bits", 22))
+                s_gelu_out = np.float32(np.float32(s_g) / np.float32(2.0**sb))
             else:
                 # f32 op-for-op as ibert_gelu_int (see freeze.py)
                 from ..ops.ibert import GELU_A, GELU_K, GELU_N
@@ -220,6 +226,9 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
                                         / np.float32(2.0))
             s_m2 = _act_scale(mq, "qact1", 8)
             blk["m_gelu"] = requant_multiplier(s_gelu_out, s_m2)
+            if cfg.base_type("gelu") == "ppoly":
+                # precomputed poly-output grid (see freeze.py gelu_s_out)
+                blk["gelu_s_out"] = np.float32(s_gelu_out)
             fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
             s_mlp = _act_scale(mq, "qact2", 8)
             blk["fc2_w"], blk["fc2_b"] = fc2_w, fc2_b

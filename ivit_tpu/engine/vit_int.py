@@ -260,16 +260,19 @@ def _gelu_int(cfg, blk, x_int):
     if base == "ppoly":
         params = cfg.type_params("gelu")
         scale_bits = int(params.get("scale_bits", 22))
+        backend = str(params.get("backend", "ibert"))
         y_int = eval_piecewise_poly(x_int, blk["gelu_bounds"].astype(jnp.float32),
                                     blk["gelu_coeffs"])
-        # ppoly emits y*2**N; its composite out-scale (ibert backend) is
-        # folded into m_gelu at freeze; convert to the backend's int domain
-        from ..ops.ibert import GELU_A, GELU_K, GELU_N
-        s = blk["s_gelu"]
-        so = rdiv(s, GELU_K) ** 2 * GELU_A * 2.0**GELU_N
-        s_out = s * so / 2
+        # ppoly emits y*2**N; re-floor onto the backend's output grid (the
+        # sim's out_scale, models/layers.py PPolyGELU), folded into m_gelu
+        # at freeze.  ibert backend: the IBERT composite scale; float
+        # backend: s / 2**N (the reference's ppoly_modules.py:84-92 split).
+        # The grid comes precomputed from freeze (blk["gelu_s_out"]) so no
+        # traced scale chain is exposed to XLA constant folding.
+        del backend
+        s_out = blk["gelu_s_out"]
         y = y_int / 2.0**scale_bits          # float value (exact /2**k)
-        return jnp.floor(rdiv(y, s_out))     # ints on the composite grid
+        return jnp.floor(rdiv(y, s_out))     # ints on the backend grid
     if base == "float":
         y = jax.nn.gelu(x_int * blk["s_gelu"], approximate=False)
         qmax = 2 ** 7 - 1

@@ -433,7 +433,14 @@ class PPolyGELU(nn.Module):
             out_scale = s / (2.0**self.scale_bits)
         out_scale = jax.lax.stop_gradient(out_scale)
 
-        x_int = q.floor_ste(q.rdiv(x, s))
+        # round_ste snap, not the reference's floor (ppoly_modules.py:106):
+        # x is exactly fl(z*s), and floor of its correctly-rounded quotient
+        # sits on a knife edge at integer z — any ulp-level perturbation of
+        # the (possibly fusion-duplicated) producer flips it to z-1 (measured:
+        # 3.8% of elements flipped eager-vs-jit at full model size).  The
+        # snap recovers the true integer the engine receives, exactly like
+        # every other family core (ops/ivit.py, ops/ibert.py).
+        x_int = q.round_ste(q.rdiv(x, s))
         y_poly = eval_piecewise_poly(
             jax.lax.stop_gradient(x_int),
             bounds_v.value.astype(jnp.float32), coeffs_v.value)
@@ -451,7 +458,10 @@ class PPolyGELU(nn.Module):
         y_float_gelu = jax.nn.gelu(x, approximate=False)
         y = jax.lax.stop_gradient(y_val) + (
             y_float_gelu - jax.lax.stop_gradient(y_float_gelu))
-        y = out_scale * q.floor_ste(y / out_scale)
+        # rdiv, not a bare divide: out_scale is not a power of two, and the
+        # quotient feeds a floor (ops/quant.py doctrine; engine mirrors this
+        # exact chain in vit_int._gelu_int's ppoly branch)
+        y = out_scale * q.floor_ste(q.rdiv(y, out_scale))
         return y, out_scale
 
 
@@ -483,7 +493,10 @@ class PPolySoftmax(nn.Module):
                                    lambda: jnp.zeros((1,), jnp.float32))
 
         s = jnp.reshape(scaling_factor, (-1,))[:1]
-        x_int = q.floor_ste(q.rdiv(x, s))
+        # round_ste snap (not the reference's floor, ppoly_modules.py:302):
+        # see PPolyGELU — recovers the true integer in every compilation
+        # context instead of the knife-edge floor
+        x_int = q.round_ste(q.rdiv(x, s))
         x_int_max = jnp.max(jax.lax.stop_gradient(x_int), axis=-1, keepdims=True)
         x_off = x_int - x_int_max + 127  # offset domain (ppoly_modules.py:306)
 

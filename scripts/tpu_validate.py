@@ -33,6 +33,8 @@ CONFIGS = [
     ("deit_tiny_mixed", "deit_tiny_patch16_224", ("ivit", "ibert", "ibert")),
     ("swin_tiny_ivit", "swin_tiny_patch4_window7_224",
      ("ivit", "ivit", "ivit")),
+    ("deit_tiny_ppoly", "deit_tiny_patch16_224",
+     ("ppoly_backend_ibert", "ppoly_backend_ibert", "ivit")),
 ]
 
 
@@ -58,7 +60,11 @@ def build(name, families, rng):
         xb = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
         _, st = calib({"params": variables["params"], "quant_stats": qs}, xb)
         qs = st["quant_stats"]
-    return model, {"params": variables["params"], "quant_stats": qs}, x
+    tree = {"params": variables["params"], "quant_stats": qs}
+    if any(f.startswith("ppoly") for f in families):
+        from ivit_tpu.train.ppoly_fit import fit_ppoly_tables
+        tree = fit_ppoly_tables(model, tree)
+    return model, tree, x
 
 
 def dump(args):
