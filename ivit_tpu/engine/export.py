@@ -69,9 +69,19 @@ def load_engine(path: str) -> EngineSpec:
     with open(base + ".json") as f:
         cfg = json.load(f)
     cfg["bitwidths"] = BitWidths(*cfg["bitwidths"])
-    config = EngineConfig(**cfg)
+    if "layout" in cfg:
+        # Swin artifact: restore the static tuples JSON turned into lists
+        from .swin_int import SwinEngineConfig, SwinEngineSpec
+        cfg["depths"] = tuple(cfg["depths"])
+        cfg["stage_heads"] = tuple(cfg["stage_heads"])
+        cfg["layout"] = tuple(tuple(e) for e in cfg["layout"])
+        config = SwinEngineConfig(**cfg)
+        spec_cls = SwinEngineSpec
+    else:
+        config = EngineConfig(**cfg)
+        spec_cls = EngineSpec
     with np.load(base + ".npz") as z:
         flat = {k: z[k] for k in z.files}
     import jax.numpy as jnp
     params = jax.tree.map(jnp.asarray, _unflatten(flat))
-    return EngineSpec(config=config, params=params)
+    return spec_cls(config=config, params=params)

@@ -461,20 +461,31 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
 
 
 class Engine:
-    """Callable integer inference engine for one frozen model."""
+    """Callable integer inference engine for one frozen model (ViT or Swin
+    spec — dispatches on the spec type, like ServingEngine)."""
 
     def __init__(self, spec: EngineSpec, pallas=None):
+        from .swin_int import (SwinEngineSpec, swin_engine_forward,
+                               swin_fusion_report)
         self.spec = spec
-        self.fusion = fusion_report(spec.config, pallas)
+        if isinstance(spec, SwinEngineSpec):
+            fwd, self.fusion = swin_engine_forward, swin_fusion_report(
+                spec.config, pallas)
+            fused = self.fusion["fused_window_attention"]
+        else:
+            fwd, self.fusion = engine_forward, fusion_report(
+                spec.config, pallas)
+            fused = self.fusion["fused_blocks"]
         import logging
         log = logging.getLogger("ivit_tpu.engine")
-        if self.fusion["fused_blocks"]:
+        if fused:
             log.info("engine path: fused Pallas block kernels")
         else:
             log.warning("engine path: UNFUSED per-op graph (%s)",
                         "; ".join(self.fusion["unfused_reasons"]))
-        self._jitted = jax.jit(lambda params, images: engine_forward(
-            EngineSpec(self.spec.config, params), images, pallas=pallas))
+        spec_cls = type(spec)
+        self._jitted = jax.jit(lambda params, images: fwd(
+            spec_cls(self.spec.config, params), images, pallas=pallas))
 
     def __call__(self, images):
         return self._jitted(self.spec.params, images)

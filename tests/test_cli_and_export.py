@@ -93,3 +93,28 @@ def test_inference_cli_smoke(tmp_path):
     assert 0 <= out["top1"] <= 1 and out["images"] > 0
     assert (tmp_path / "eng.npz").exists()
     assert (tmp_path / "io.csv").exists()
+
+
+def test_swin_engine_export_roundtrip(tmp_path, rng):
+    """Swin specs round-trip through the .npz artifact (SwinEngineConfig
+    restored with its static tuples) and Engine dispatches on spec type."""
+    sys.path.insert(0, "tests")
+    from test_swin_engine import build_swin
+
+    from ivit_tpu.engine import Engine
+    from ivit_tpu.engine.export import load_engine, save_engine
+    from ivit_tpu.engine.swin_int import (SwinEngineSpec, freeze_swin_model,
+                                          swin_engine_forward)
+
+    model, variables = build_swin(rng)
+    spec = freeze_swin_model(model, variables)
+    save_engine(spec, str(tmp_path / "swin.npz"))
+    spec2 = load_engine(str(tmp_path / "swin.npz"))
+    assert isinstance(spec2, SwinEngineSpec)
+    assert spec2.config == spec.config
+    x = jnp.asarray(rng.normal(
+        size=(2, spec.config.img_size, spec.config.img_size, 3)
+    ).astype(np.float32))
+    y1 = np.asarray(swin_engine_forward(spec, x, pallas=False))
+    y2 = np.asarray(Engine(spec2, pallas=False)(x))
+    np.testing.assert_array_equal(y1, y2)
