@@ -83,3 +83,22 @@ def test_swin_engine_activation_envelope(rng):
         if "sat_frac" in r:
             assert float(r["sat_frac"]) <= 0.05, \
                 (r["site"], float(r["sat_frac"]))
+
+
+def test_swin_engine_ppoly_matches_sim(rng):
+    """Swin + ppoly family: freeze reads the fitted tables and the
+    backend-aware gelu_s_out grid; engine matches the sim bitwise."""
+    from ivit_tpu.train.ppoly_fit import fit_ppoly_tables
+
+    model, variables = build_swin(
+        rng, gelu_type="ppoly_backend_ibert",
+        softmax_type="ppoly_backend_ibert", layernorm_type="ivit")
+    variables = fit_ppoly_tables(model, variables)
+    spec = freeze_swin_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    sim = np.asarray(jax.jit(
+        lambda v, a: model.apply(v, a, running_stat=False))(variables, x))
+    eng = np.asarray(jax.jit(
+        lambda p, a: swin_engine_forward(
+            type(spec)(spec.config, p), a, pallas=False))(spec.params, x))
+    np.testing.assert_array_equal(eng, sim)
