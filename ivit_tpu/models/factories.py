@@ -1,8 +1,10 @@
 """Model factories (ref vit_quant.py:315-406).
 
-Pretrained-weight download is not performed here (zero-egress environment);
-float pretrained weights or QAT checkpoints are ingested via
-``ivit_tpu.compat.torch_ckpt`` / ``ivit_tpu.train.checkpoint``.
+Factories construct architectures only; pretrained float weights are
+ingested separately via ``ivit_tpu.compat.pretrained.load_pretrained``
+(URL download with cache, or an explicit local file in zero-egress
+environments), QAT checkpoints via ``ivit_tpu.compat.torch_ckpt`` /
+``ivit_tpu.train.checkpoint``.
 """
 
 from __future__ import annotations

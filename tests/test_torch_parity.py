@@ -266,3 +266,43 @@ def test_swin_export_roundtrip(tmp_path, rng):
     y1 = np.asarray(model.apply(jax.tree.map(jnp.asarray, reloaded), x,
                                 running_stat=False))
     np.testing.assert_allclose(y1, y0, atol=1e-6)
+
+
+def test_load_pretrained_local_float_checkpoint(tmp_path, rng):
+    """compat.pretrained ingests a plain FLOAT (timm-style) torch checkpoint
+    by model name with local_path override (the reference's
+    torch.hub.load_state_dict_from_url flow, vit_quant.py:315-406, minus
+    the network)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import torch
+    from test_engine import build_calibrated
+
+    from ivit_tpu.compat.export_torch import to_reference_state_dict
+    from ivit_tpu.compat.pretrained import (PRETRAINED_URLS, fetch_pretrained,
+                                            load_pretrained)
+
+    model, variables = build_calibrated(rng)
+    sd = to_reference_state_dict(variables)  # default all-ivit config
+    # mimic a float pretrained file: weights/biases only, no quant buffers
+    float_sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+                if not any(t in k for t in
+                           ("integer", "scaling_factor", "x_min", "x_max",
+                            "shift", "dim_sqrt"))}
+    path = tmp_path / "deit_float.pth"
+    torch.save({"model": float_sd}, path)
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    got, report = load_pretrained(model, "deit_tiny_patch16_224", x,
+                                  local_path=str(path))
+    want_k = np.asarray(variables["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    got_k = np.asarray(got["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(got_k, want_k, rtol=1e-6)
+    assert len(report["matched"]) > 20
+    # every registry name resolves; offline fetch fails with a clear error
+    assert set(PRETRAINED_URLS) >= {"deit_tiny_patch16_224",
+                                    "vit_large_patch16_224"}
+    try:
+        fetch_pretrained("deit_tiny_patch16_224", cache_dir=str(tmp_path))
+    except RuntimeError as e:
+        assert "local_path" in str(e)
