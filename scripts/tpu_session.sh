@@ -39,4 +39,8 @@ run_step bench_matrix 5400 python scripts/bench_matrix.py --sol --out BENCH_MATR
 # 3. headline driver metric
 run_step bench 1800 python bench.py
 
+# 4. A/B the divide-free exp-chain quotient on the flagship config
+#    (VERDICT item 4 lever; ops/quant.floor_div_int)
+run_step ab_fastexp 1800 python scripts/ab_fastexp.py --out runs/ab_fastexp.json
+
 note "=== TPU session done ==="
