@@ -40,8 +40,8 @@ from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
 from ..ops.pallas import block as pblk
 from ..ops.quant import exact_int_sum, rdiv
 from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _gemm_bias,
-                      _layernorm_int, _ln_requant, _requant, _softmax_int,
-                      _use_pallas)
+                      _int16_kernels_on, _layernorm_int, _ln_requant,
+                      _requant, _softmax_int, _use_pallas)
 
 import dataclasses
 
@@ -316,9 +316,10 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     attn_reasons = []
     if sm not in ("ivit", "ibert"):
         attn_reasons.append(f"softmax family {sm!r} has no fused kernel")
-    if cfg.bitwidths.softmax > 8:
+    if cfg.bitwidths.softmax > 8 and not _int16_kernels_on():
         attn_reasons.append(f"softmax_bw={cfg.bitwidths.softmax} (int16-prob "
-                            "kernels await Mosaic int16-dot validation)")
+                            "kernels await Mosaic int16-dot validation; "
+                            "IVIT_INT16_KERNELS=1 enables)")
     fuse_attn = (on and ln in ("ivit", "ibert") and not attn_reasons)
     dims = [cfg.embed_dim * 2**i for i in range(len(cfg.depths))]
     stages = {f"stage{i}(dim={d})": bool(fuse_mlp and d % 128 == 0)
@@ -396,7 +397,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
     fuse_attn = (_use_pallas(pallas)
                  and cfg.base_type("softmax") in ("ivit", "ibert")
                  and cfg.base_type("ln") in ("ivit", "ibert")
-                 and cfg.bitwidths.softmax <= 8)
+                 and (cfg.bitwidths.softmax <= 8 or _int16_kernels_on()))
     B = images.shape[0]
     ps = cfg.patch_size
     grid = cfg.img_size // ps

@@ -40,6 +40,15 @@ def _use_pallas(pallas):
     return jax.default_backend() == "tpu"
 
 
+def _int16_kernels_on() -> bool:
+    """INT16-softmax fused kernels are bit-exact in interpret mode
+    (tests/test_pallas.py) but Mosaic's int16 dot awaits hardware
+    validation (scripts/validate_kernels_tpu.py); set IVIT_INT16_KERNELS=1
+    to enable the fused path for 16-bit softmax configs."""
+    import os
+    return os.environ.get("IVIT_INT16_KERNELS", "") not in ("", "0")
+
+
 # ---------------------------------------------------------------------------
 # Envelope audit (the datapath-sizing check of SURVEY §4.3; the reference's
 # analogue is the io-stats hook table consumed by scripts/analyze_io_stats.py,
@@ -119,10 +128,11 @@ def fusion_report(cfg, pallas=None) -> dict:
         reasons.append(f"gelu family {ge!r} has no fused block kernel")
     if ln not in ("ivit", "ibert"):
         reasons.append(f"ln family {ln!r} has no fused block kernel")
-    if cfg.bitwidths.softmax > 8:
+    if cfg.bitwidths.softmax > 8 and not _int16_kernels_on():
         reasons.append(f"softmax_bw={cfg.bitwidths.softmax} (int16-prob "
                        "kernels await Mosaic int16-dot hardware validation; "
-                       "bit-exact in interpret mode — test_pallas.py)")
+                       "bit-exact in interpret mode — test_pallas.py; "
+                       "IVIT_INT16_KERNELS=1 enables)")
     fused_blocks = on and not reasons
     return {
         "fused_blocks": fused_blocks,
@@ -334,7 +344,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                   and cfg.base_type("softmax") in ("ivit", "ibert")
                   and cfg.base_type("gelu") in ("ivit", "ibert")
                   and cfg.base_type("ln") in ("ivit", "ibert")
-                  and bw.softmax <= 8)   # see fusion_report
+                  and (bw.softmax <= 8 or _int16_kernels_on()))
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
 
     # input quantization (SymmetricQuantFunction on the raw image)

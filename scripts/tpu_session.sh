@@ -33,6 +33,10 @@ print((jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready().sum())
 run_step validate_dump 3600 python scripts/tpu_validate.py dump --backend tpu --out runs/val_tpu.pkl
 run_step validate_compare 300 python scripts/tpu_validate.py compare runs/val_cpu.pkl runs/val_tpu.pkl
 
+# 1b. per-kernel Mosaic hardware validation (both exp-quotient forms,
+#     INT16-softmax kernels) — answers the "interpret-only" gap directly
+run_step validate_kernels 3600 python scripts/validate_kernels_tpu.py
+
 # 2. full benchmark matrix with speed-of-light accounting
 run_step bench_matrix 5400 python scripts/bench_matrix.py --sol --out BENCH_MATRIX.json
 
