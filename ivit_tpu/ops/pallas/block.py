@@ -60,6 +60,37 @@ def _ibert_int_exp(x_int, s, fast_q=False):
     return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
 
 
+def _ctx_dot(probs_f32, v_int8, sm_bit):
+    """probs (non-negative ints held in f32) @ int8 ``v`` -> int32.
+
+    Mosaic on real hardware has no mixed-width integer dot ("Mix int/int -
+    NYI", found by scripts/validate_kernels_tpu.py), so the 16-bit-softmax
+    path cannot feed an int16 probs matrix to the MXU directly.  Split it
+    exactly into two s8 GEMMs: with p in [0, 2**15-1],
+    ``p = 256*hi + (lo - 128) + 128`` where ``hi = p >> 8`` in [0, 127] and
+    ``lo - 128`` in [-128, 127], so
+    ``p @ v = ((hi @ v) << 8) + (lo - 128) @ v + 128 * (ones @ v)``.
+    All three dots are s8 x s8 -> s32 (the proven Mosaic form) and the sum
+    is exact in int32 (|true ctx| < 2**31 per the envelope audit), hence
+    bit-identical to the unfused engine's int16 x int8 dot.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if sm_bit <= 8:
+        return jax.lax.dot_general(probs_f32.astype(jnp.int8), v_int8, dims,
+                                   preferred_element_type=jnp.int32)
+    p = probs_f32.astype(jnp.int32)
+    hi = (p >> 8).astype(jnp.int8)
+    lo = ((p & 255) - 128).astype(jnp.int8)
+    ones = jnp.ones((probs_f32.shape[0], v_int8.shape[0]), jnp.int8)
+    dot_hi = jax.lax.dot_general(hi, v_int8, dims,
+                                 preferred_element_type=jnp.int32)
+    dot_lo = jax.lax.dot_general(lo, v_int8, dims,
+                                 preferred_element_type=jnp.int32)
+    colsum = jax.lax.dot_general(ones, v_int8, dims,
+                                 preferred_element_type=jnp.int32)
+    return (dot_hi << 8) + dot_lo + 128 * colsum
+
+
 def _ibert_gelu(x, s):
     """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
     se = _rdiv(s, _IB_GELU_K)
@@ -132,7 +163,8 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, gelu_base, mlp_bits, out_bits, fast_exp):
+                ln_base, gelu_base, mlp_bits, out_bits, fast_exp,
+                ablate=""):
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
     m_gelu = sc_ref[1]
@@ -140,22 +172,31 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     m_res_id = sc_ref[3]
     pw_shift = sc_ref[4]
 
-    if ln_base == "ivit":
+    # ``ablate`` is a perf-diagnostic switch for scripts/kernel_microbench.py
+    # ONLY (never set by the engine): it drops a stage to attribute kernel
+    # time between the MXU GEMMs and the VPU nonlinearity chains.
+    if "ln" in ablate:
+        y = jnp.clip(x_in, -128.0, 127.0).astype(jnp.int8)
+    elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(y, w1_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + b1_ref[...]
     h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
 
-    if gelu_base == "ivit":
-        g = _shift_gelu(h, s_sig, fast_q=fast_exp)
+    if "gelu" in ablate:
+        g = h.astype(jnp.int8)
     else:
-        g = _ibert_gelu(h, s_sig)   # s_sig carries the raw s_gelu for ibert
-    g = _requant(g, m_gelu, 8).astype(jnp.int8)
+        if gelu_base == "ivit":
+            g = _shift_gelu(h, s_sig, fast_q=fast_exp)
+        else:
+            g = _ibert_gelu(h, s_sig)  # s_sig carries raw s_gelu for ibert
+        g = _requant(g, m_gelu, 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -175,7 +216,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
                 ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
                 out_dtype=jnp.int8, fast_exp: bool = False,
-                tile_rows: int = 512, interpret: bool = False):
+                tile_rows: int = 512, interpret: bool = False, ablate=""):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
     Wait-free residual: the kernel re-reads its own input tile for the
@@ -201,7 +242,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         out = pl.pallas_call(
             functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
                               mlp_bits=mlp_bits, out_bits=out_bits,
-                              fast_exp=fast_exp),
+                              fast_exp=fast_exp, ablate=ablate),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -271,7 +312,7 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid, fast_q=False):
 
 def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
-                 ctx_ref, scores_ref, *, ln_base, sm_base, num_heads,
+                 ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp):
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -284,11 +325,15 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     pw_shift = sc_ref[5]
     s_exp_act = sc_ref[6]
 
-    if ln_base == "ivit":
+    # ``ablate``: perf-diagnostic stage dropping for kernel_microbench only
+    if "ln" in ablate:
+        y = jnp.clip(x_in, -128.0, 127.0).astype(jnp.int8)
+    elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
 
     acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -312,24 +357,22 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
 
     lim_a = 2.0 ** (attn_bits - 1)
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
-    if sm_base == "ivit":
+    if "softmax" in ablate:
+        probs_all = jnp.clip(scores, 0.0, 127.0)
+    elif sm_base == "ivit":
         probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid, fast_exp)
     else:
         probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid,
                                    fast_exp)
     scores_ref[...] = probs_all
 
-    prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
     for ti in range(t):
         rows = slice(ti * np_, (ti + 1) * np_)
         for h in range(num_heads):
             v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
             srows = slice((ti * num_heads + h) * np_,
                           (ti * num_heads + h + 1) * np_)
-            ctx_h = jax.lax.dot_general(
-                scores_ref[srows, :].astype(prob_dtype), v_h,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [Np, Dh]
+            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [Np, Dh]
             ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
                 ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
 
@@ -351,7 +394,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  ln_base="ivit", sm_base="ivit", s_exp_act=None,
                  sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
                  out_dtype=jnp.int8, fast_exp: bool = False,
-                 img_tile: int = 2, interpret: bool = False):
+                 img_tile: int = 2, interpret: bool = False, ablate=""):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
@@ -376,7 +419,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     with _kernel_trace(interp):
         out = pl.pallas_call(
             functools.partial(_attn_kernel, ln_base=ln_base, sm_base=sm_base,
-                              num_heads=num_heads,
+                              num_heads=num_heads, ablate=ablate,
                               n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
                               out_bits=out_bits, attn_bits=attn_bits,
                               fast_exp=fast_exp),
@@ -467,17 +510,13 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                                fast_exp)
     scores_ref[...] = probs
 
-    prob_dtype = jnp.int8 if sm_bit <= 8 else jnp.int16
     for w in range(wt):
         rows = slice(w * n, (w + 1) * n)
         for h in range(num_heads):
             v_h = qkv[rows, 2 * c + h * hd:2 * c + (h + 1) * hd]
             srows = slice((w * num_heads + h) * n,
                           (w * num_heads + h + 1) * n)
-            ctx_h = jax.lax.dot_general(
-                scores_ref[srows, :].astype(prob_dtype), v_h,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [n, hd]
+            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [n, hd]
             ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(
                 ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
 

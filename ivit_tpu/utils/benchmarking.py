@@ -86,12 +86,28 @@ def profile_device_ops(fn: Callable, *args, iters: int = 5):
                  and e.get("name") == "process_name" and "args" in e}
     dev_pids = {p for p, n in pid_names.items()
                 if "/device:" in n or "TPU" in n or "Device" in n}
+    # The device plane carries one line of whole-module spans ("XLA Modules",
+    # e.g. ``jit__lambda(...)``) that PARENT the per-op line ("XLA Ops");
+    # summing both double-counts every op.  Keep per-op lines only when the
+    # trace labels them (fall back to everything otherwise).
+    tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name" and "args" in e}
+    op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
+    module_tids = {k for k, n in tid_names.items() if "XLA Modules" in n}
     agg: dict = {}
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            rec = agg.setdefault(e.get("name", "?"), [0.0, 0])
-            rec[0] += float(e.get("dur", 0.0))
-            rec[1] += 1
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        if op_tids:
+            if key not in op_tids:
+                continue
+        elif key in module_tids:
+            continue
+        rec = agg.setdefault(e.get("name", "?"), [0.0, 0])
+        rec[0] += float(e.get("dur", 0.0))
+        rec[1] += 1
     return {k: {"us_per_iter": v[0] / iters, "calls_per_iter": v[1] / iters}
             for k, v in sorted(agg.items(), key=lambda kv: -kv[1][0])}
 
