@@ -41,12 +41,15 @@ def _use_pallas(pallas):
 
 
 def _int16_kernels_on() -> bool:
-    """INT16-softmax fused kernels are bit-exact in interpret mode
-    (tests/test_pallas.py) but Mosaic's int16 dot awaits hardware
-    validation (scripts/validate_kernels_tpu.py); set IVIT_INT16_KERNELS=1
-    to enable the fused path for 16-bit softmax configs."""
+    """INT16-softmax fused kernels: ON by default.
+
+    Hardware-validated bit-exact on the TPU v5e (scripts/
+    validate_kernels_tpu.py, 2026-08-18: mosaic == interpret == unfused,
+    0 bits, both fast_exp forms) via the split s8xs8 context dot in
+    ops/pallas/block._ctx_dot (real Mosaic has no mixed-width integer
+    dot).  Set IVIT_INT16_KERNELS=0 to force the unfused path."""
     import os
-    return os.environ.get("IVIT_INT16_KERNELS", "") not in ("", "0")
+    return os.environ.get("IVIT_INT16_KERNELS", "1") not in ("", "0")
 
 
 # ---------------------------------------------------------------------------

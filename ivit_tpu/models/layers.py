@@ -92,8 +92,10 @@ class QuantAct(nn.Module):
                 upd_max = jnp.maximum(x_max_v.value, cur_max)
             else:
                 m = self.act_range_momentum
-                upd_min = x_min_v.value * m + cur_min * (1 - m)
-                upd_max = x_max_v.value * m + cur_max * (1 - m)
+                # contraction-pinned EMA: unpinned products made the stored
+                # range (hence every downstream scale) context-dependent
+                upd_min = q.ema_update(x_min_v.value, cur_min, m)
+                upd_max = q.ema_update(x_max_v.value, cur_max, m)
             x_min_v.value = jnp.where(uninit, x_min_v.value + cur_min, upd_min)
             x_max_v.value = jnp.where(uninit, x_max_v.value + cur_max, upd_max)
 
@@ -288,10 +290,13 @@ class _ExpRangeAct(nn.Module):
             cur_max = jnp.max(sg).reshape(1)
             uninit = jnp.all(x_min_v.value == x_max_v.value)
             m = 0.95
+            # contraction-pinned EMA (ops/quant.ema_update): the exp ranges
+            # sit at ~2**50 where an unpinned mul+add tie-breaks differently
+            # per compilation context (found by tests/test_chunked.py)
             x_min_v.value = jnp.where(uninit, x_min_v.value + cur_min,
-                                      x_min_v.value * m + cur_min * (1 - m))
+                                      q.ema_update(x_min_v.value, cur_min, m))
             x_max_v.value = jnp.where(uninit, x_max_v.value + cur_max,
-                                      x_max_v.value * m + cur_max * (1 - m))
+                                      q.ema_update(x_max_v.value, cur_max, m))
         s_act = q.symmetric_quant_params(16, x_min_v.value, x_max_v.value)
         if running_stat:
             scale_v.value = s_act

@@ -83,6 +83,25 @@ def mul_add_2r(a, b, c):
     return _pin(a * b) + c
 
 
+def ema_update(old, new, m: float):
+    """Context-stable EMA ``old*m + new*(1-m)`` for activation ranges.
+
+    A bare ``old*m + new*(1-m)`` leaves both products exposed to FMA
+    contraction, so the stored range — and hence every downstream scale —
+    shifted by an ulp between compilation contexts (measured: unrolled vs
+    lax.scan calibration on CPU; even ``_pin``-wrapped products tie-break
+    differently, because the pin's own ``v - c`` can contract into
+    ``fma(x, y, -c)``).  :func:`exact_fma` is the only mul+add form here
+    that is deterministic everywhere, so the EMA is DEFINED as
+    ``fl(old*m + fl(new*(1-m)))`` built from two exact_fma calls — one
+    fixed, reproducible value on every backend in every context (within
+    <=1 ulp of the reference's torch-eager three-rounding form,
+    quant_modules.py:351-360; stats are statistics, determinism is the
+    invariant that matters).
+    """
+    return exact_fma(old, m, exact_fma(new, 1.0 - m, 0.0))
+
+
 def _two_sum(x, y):
     """Knuth TwoSum: s = fl(x+y) and its exact error, add/sub ops only."""
     s = x + y

@@ -51,10 +51,26 @@ def build(name, families, rng):
         kw["drop_path_rate"] = 0.0
     model = str2model(name)(**kw)
     x = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
-    variables = jax.jit(lambda a: model.init(
-        jax.random.PRNGKey(0), a, running_stat=True))(x)
-    calib = jax.jit(lambda v, a: model.apply(
-        v, a, running_stat=True, mutable=["quant_stats"]))
+    # init on CPU always: random param creation is host-side prep (its
+    # trunc-normal rejection-sampling graph also SIGSEGVs the axon remote
+    # compile helper intermittently).  Calibration/sim/engine stay on the
+    # target backend, so the cross-backend qstats check still covers the
+    # calibration math.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.jit(lambda a: model.init(
+            jax.random.PRNGKey(0), a, running_stat=True))(x)
+    variables = jax.device_put(variables)
+    # sims run chunked (bit-identical, far smaller modules — the unrolled
+    # full-model graph intermittently SIGSEGVs the axon compile helper):
+    # ViT as one scan-over-blocks jit, Swin as per-submodule jits
+    if name.startswith("swin"):
+        from ivit_tpu.models.chunked import swin_chunked_apply
+        calib = lambda v, a: swin_chunked_apply(  # noqa: E731
+            model, v, a, running_stat=True)
+    else:
+        from ivit_tpu.models.chunked import scan_apply
+        calib = jax.jit(lambda v, a: scan_apply(
+            model, v, a, running_stat=True))
     qs = variables["quant_stats"]
     for _ in range(2):
         xb = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
@@ -76,32 +92,54 @@ def dump(args):
 
     out = {"backend": args.backend}
     for cname, mname, families in CONFIGS:
-        rng = np.random.default_rng(0)
-        model, variables, x = build(mname, families, rng)
-        rec = {}
-        # calibrated-range fingerprint: scales must match across backends
-        leaves = jax.tree_util.tree_leaves(
-            jax.device_get(variables["quant_stats"]))
-        rec["qstats"] = np.concatenate([np.ravel(v) for v in leaves])
+        # the axon remote-compile helper SIGSEGVs intermittently on ~5MB
+        # full-model graphs (one sick helper instance in the round-robin?);
+        # per-config retry with a settle sleep is the CLAUDE.md doctrine
+        def one_config():
+            rng = np.random.default_rng(0)
+            model, variables, x = build(mname, families, rng)
+            rec = {}
+            # calibrated-range fingerprint: must match across backends
+            leaves = jax.tree_util.tree_leaves(
+                jax.device_get(variables["quant_stats"]))
+            rec["qstats"] = np.concatenate([np.ravel(v) for v in leaves])
 
-        sim = np.asarray(jax.jit(lambda v, a: model.apply(
-            v, a, running_stat=False))(variables, x))
-        rec["sim"] = sim
-        if mname.startswith("swin"):
-            from ivit_tpu.engine.swin_int import (freeze_swin_model,
-                                                  swin_engine_forward)
-            spec = freeze_swin_model(model, variables)
-            fwd = swin_engine_forward
-        else:
-            from ivit_tpu.engine import freeze_model
-            from ivit_tpu.engine.vit_int import engine_forward
-            spec = freeze_model(model, variables)
-            fwd = engine_forward
-        rec["engine"] = np.asarray(jax.jit(
-            lambda a: fwd(spec, a, pallas=False))(x))
-        if args.backend == "tpu":
-            rec["engine_pallas"] = np.asarray(jax.jit(
-                lambda a: fwd(spec, a, pallas=True))(x))
+            if mname.startswith("swin"):
+                from ivit_tpu.models.chunked import swin_chunked_apply
+                sim_fn = lambda v, a: swin_chunked_apply(  # noqa: E731
+                    model, v, a)
+            else:
+                from ivit_tpu.models.chunked import scan_apply
+                sim_fn = jax.jit(lambda v, a: scan_apply(model, v, a))
+            rec["sim"] = np.asarray(sim_fn(variables, x))
+            if mname.startswith("swin"):
+                from ivit_tpu.engine.swin_int import (freeze_swin_model,
+                                                      swin_engine_forward)
+                spec = freeze_swin_model(model, variables)
+                fwd = swin_engine_forward
+            else:
+                from ivit_tpu.engine import freeze_model
+                from ivit_tpu.engine.vit_int import engine_forward
+                spec = freeze_model(model, variables)
+                fwd = engine_forward
+            rec["engine"] = np.asarray(jax.jit(
+                lambda a: fwd(spec, a, pallas=False))(x))
+            if args.backend == "tpu":
+                rec["engine_pallas"] = np.asarray(jax.jit(
+                    lambda a: fwd(spec, a, pallas=True))(x))
+            return rec
+
+        for attempt in range(4):
+            try:
+                rec = one_config()
+                break
+            except Exception as exc:  # noqa: BLE001
+                print(f"{cname} attempt {attempt}: "
+                      f"{repr(exc)[:140]}", flush=True)
+                if attempt == 3:
+                    raise
+                import time
+                time.sleep(20)
         d_se = np.abs(rec["sim"] - rec["engine"]).max()
         line = f"{cname}: sim-vs-engine {d_se:g}"
         ok = d_se == 0
