@@ -366,6 +366,11 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                                    fast_exp)
     scores_ref[...] = probs_all
 
+    # ctx scratch is f32 (8x128 tiles): int8 scratch (32x128 tiles) hit a
+    # Mosaic masked-store miscompile on sub-tile stores (rows n-strided,
+    # cols Dh-strided) — 36 dropped/corrupt elements on Swin-T stage1,
+    # bisected by scripts/debug_swin_kernel_stage.py; f32 tiles store
+    # exactly.  The requant output is already f32-held int8 values.
     for ti in range(t):
         rows = slice(ti * np_, (ti + 1) * np_)
         for h in range(num_heads):
@@ -374,9 +379,9 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                           (ti * num_heads + h + 1) * np_)
             ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [Np, Dh]
             ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
-                ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
+                ctx_h.astype(jnp.float32), m_av, 8)
 
-    acc = jax.lax.dot_general(ctx_ref[...], wproj_ref[...],
+    acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8), wproj_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + bproj_ref[...]
@@ -442,7 +447,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
             ],
             out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.float32),
                             pltpu.VMEM((t * num_heads * np_, np_), jnp.float32)],
             interpret=interp,
         )(x_int,
@@ -510,6 +515,8 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                                fast_exp)
     scores_ref[...] = probs
 
+    # f32 ctx scratch: see _attn_kernel — Mosaic int8 sub-tile stores
+    # miscompile at Swin-T stage1 geometry (debug_swin_kernel_stage.py)
     for w in range(wt):
         rows = slice(w * n, (w + 1) * n)
         for h in range(num_heads):
@@ -518,9 +525,9 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                           (w * num_heads + h + 1) * n)
             ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [n, hd]
             ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(
-                ctx_h.astype(jnp.float32), m_av, 8).astype(jnp.int8)
+                ctx_h.astype(jnp.float32), m_av, 8)
 
-    acc = jax.lax.dot_general(ctx_ref[...], wproj_ref[...],
+    acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8), wproj_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + bproj_ref[...]
@@ -615,7 +622,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
             ],
             out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.float32),
                             pltpu.VMEM((wt * num_heads * n, n), jnp.float32)],
             interpret=interp,
         )(xw,

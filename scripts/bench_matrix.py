@@ -122,10 +122,20 @@ def bench_config(cfg, batch, iters, sol=False):
     model = str2model(cfg["model"])(**kwargs)
     rng = np.random.default_rng(0)
     x_cal = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
-    variables = jax.jit(lambda a: model.init(
-        jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
-    _, st = jax.jit(lambda v, a: model.apply(
-        v, a, running_stat=True, mutable=["quant_stats"]))(variables, x_cal)
+    # init on CPU (host-side prep; its RNG graph intermittently SIGSEGVs
+    # the axon compile helper) + chunked calibration/sim graphs — see
+    # ivit_tpu/models/chunked.py (bit-identical to model.apply)
+    from ivit_tpu.models.chunked import scan_apply, swin_chunked_apply
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.jit(lambda a: model.init(
+            jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
+    variables = jax.device_put(variables)
+    if is_swin:
+        _, st = swin_chunked_apply(model, variables, x_cal,
+                                   running_stat=True)
+    else:
+        _, st = jax.jit(lambda v, a: scan_apply(
+            model, v, a, running_stat=True))(variables, x_cal)
     frozen = {"params": variables["params"],
               "quant_stats": st["quant_stats"]}
 
@@ -145,9 +155,12 @@ def bench_config(cfg, batch, iters, sol=False):
         fwd = jax.jit(lambda p, a: engine_forward(
             type(spec)(spec.config, p), a))
 
-    # parity spot-check
-    sim = np.asarray(jax.jit(lambda v, a: model.apply(
-        v, a, running_stat=False))(frozen, x_cal))
+    # parity spot-check (chunked sim == model.apply, tests/test_chunked.py)
+    if is_swin:
+        sim = np.asarray(swin_chunked_apply(model, frozen, x_cal))
+    else:
+        sim = np.asarray(jax.jit(lambda v, a: scan_apply(
+            model, v, a))(frozen, x_cal))
     eng = np.asarray(fwd(spec.params, x_cal))
     parity = float(np.abs(sim - eng).max() / max(np.abs(sim).max(), 1e-9))
 
