@@ -35,6 +35,10 @@ _DN = (((1,), (0,)), ((), ()))
 
 
 def _use_pallas(pallas):
+    if pallas == "ops":
+        # hybrid mode: XLA runs the GEMMs (batched, epilogue-fused), Pallas
+        # runs only the standalone nonlinearity kernels — no block fusion
+        return True
     if pallas is not None:
         return pallas
     return jax.default_backend() == "tpu"
@@ -188,21 +192,18 @@ def _requant(acc, m, bits, addend=None):
 
 
 def _ln_requant(y_int, s_pre, m, bits):
-    """Requant of LayerNorm-output ints, replicating the sim bit-for-bit.
+    """Requant of LayerNorm-output ints, bit-identical to the sim.
 
-    LN cores emit ints ~2**30 (factor = floor(INT32_MAX/std) by the
-    reference's construction) — beyond the f32-exact 2**24 envelope.  The
-    QAT sim's QuantAct recovers its integer from the fake-quant float as
-    ``z = round(rdiv(fl(y_int * s), s))`` (quant_modules.py:385 semantics),
-    a LOSSY roundtrip up there: z can sit one 24-bit-grid ulp away from the
-    raw ``y_int``, which flips requant ties (measured: 1 element in ~4e7 on
-    Swin-T at 224 made sim and engine logits differ by a quant step).  So
-    the engine computes the same single-rounded chain instead of using the
-    raw int — every step is a correctly-rounded f32 op, deterministic in
-    every compilation context on every backend.
+    LN cores emit ints ~2**30 — beyond the f32-exact 2**24 envelope — so
+    round 2 replicated the sim's lossy float roundtrip here (a correctly-
+    rounded divide PER ELEMENT, ~40% of DeiT-T engine time).  The sim's
+    LN->QuantAct edges now hand the exact integer through instead
+    (ops/quant._requant_exact), so sim, engine and kernels all compute the
+    plain ``round(y_int * m)`` directly from the same exact int.  ``s_pre``
+    is retained in the signature for the freeze-spec ABI but unused.
     """
-    z = jnp.round(rdiv(_f32(y_int) * s_pre, s_pre))
-    return _requant(z, m, bits)
+    del s_pre
+    return _requant(y_int, m, bits)
 
 
 def _softmax_int(cfg, blk, scores_int, pallas=None):
@@ -343,7 +344,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     N = cfg.num_patches + 1
     # fused block kernels cover the ivit softmax/gelu families with
     # ivit/ibert LayerNorm; other families run the unfused per-op path
-    use_blocks = (_use_pallas(pallas)
+    use_blocks = (_use_pallas(pallas) and pallas != "ops"
                   and cfg.base_type("softmax") in ("ivit", "ibert")
                   and cfg.base_type("gelu") in ("ivit", "ibert")
                   and cfg.base_type("ln") in ("ivit", "ibert")

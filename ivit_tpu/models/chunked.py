@@ -124,9 +124,9 @@ def scan_apply(model: VisionTransformer, variables, x, *,
         new_stats.update(_unstack_blocks(stats_out, depth))
 
     norm_mod = registry.get_layernorm(model.layernorm_type)(model.embed_dim)
-    x, s = run("norm", norm_mod, x, s)
+    x, s, x_int = run("norm", norm_mod, x, s)
     x = x[:, 0]
-    x, s = run("qact2", QuantAct(), x, s)
+    x, s = run("qact2", QuantAct(), x, s, exact_int=x_int[:, 0])
     out = QuantLinear(model.num_classes).apply({"params": params["head"]}, x, s)
     x, _ = out
     if running_stat:
@@ -172,12 +172,12 @@ def swin_chunked_apply(model, variables, x, *, running_stat: bool = False):
 
     jit_cache: dict = {}
 
-    def run(name, mod, *args, cache_key=None):
+    def run(name, mod, *args, cache_key=None, **kw):
         key = cache_key if cache_key is not None else name
         if key not in jit_cache:
             jit_cache[key] = jax.jit(functools.partial(
                 mod.apply, running_stat=running_stat, mutable=mutable))
-        out = jit_cache[key](sub(name), *args)
+        out = jit_cache[key](sub(name), *args, **kw)
         if running_stat:
             out, st = out
             if "quant_stats" in st:
@@ -212,8 +212,8 @@ def swin_chunked_apply(model, variables, x, *, running_stat: bool = False):
                        cache_key=("merge", i_layer))
 
     num_features = int(model.embed_dim * 2 ** (num_layers - 1))
-    x, s = run("norm", norm_factory(num_features), x, s)
-    x, s = run("qact2", QuantAct(), x, s)
+    x, s, x_int = run("norm", norm_factory(num_features), x, s)
+    x, s = run("qact2", QuantAct(), x, s, exact_int=x_int)
 
     from ..ops import quant as q
     x_int = q.round_ste(q.rdiv(x, s))

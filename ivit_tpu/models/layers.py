@@ -55,7 +55,7 @@ class QuantAct(nn.Module):
     @nn.compact
     def __call__(self, x, pre_scale=None, identity=None, identity_scale=None,
                  *, running_stat: bool = False,
-                 specified_min=None, specified_max=None):
+                 specified_min=None, specified_max=None, exact_int=None):
         shape = (self.channel_len,) if self.per_channel else (1,)
         x_min_v = self.variable("quant_stats", "x_min",
                                 lambda: jnp.zeros(shape, jnp.float32))
@@ -111,7 +111,8 @@ class QuantAct(nn.Module):
         else:
             out = q.fixedpoint_requant(
                 x, pre_scale, self.activation_bit, scale,
-                identity=identity, identity_scale=identity_scale)
+                identity=identity, identity_scale=identity_scale,
+                exact_int=exact_int)
         return out, scale
 
 
@@ -246,7 +247,10 @@ class IVITSoftmax(nn.Module):
 
 
 class IVITLayerNorm(nn.Module):
-    """I-LayerNorm wrapper (ivit_modules.py:10-65)."""
+    """I-LayerNorm wrapper (ivit_modules.py:10-65).
+
+    Returns ``(x, scale, y_int)``; callers thread ``y_int`` into the next
+    QuantAct as ``exact_int`` (LN ints exceed the f32-exact envelope)."""
     features: int
     eps: float = 1e-6
 
@@ -332,12 +336,12 @@ class IBERTLayerNorm(nn.Module):
                                 lambda: jnp.zeros((1,), jnp.float32))
         # overflow handling active exactly when ranges are running (ref
         # fix()/unfix() toggles it, ibert_modules.py:63-67)
-        y, out_scale, new_shift = ibert_ops.ibert_layernorm(
+        y, out_scale, new_shift, y_int = ibert_ops.ibert_layernorm(
             x, scaling_factor, weight, bias, shift_v.value,
             overflow_handling=running_stat, use_int_sqrt=self.use_int_sqrt)
         if running_stat:
             shift_v.value = new_shift.reshape(1)
-        return y, out_scale
+        return y, out_scale, y_int
 
 
 class FloatGELU(nn.Module):
@@ -383,7 +387,7 @@ class FloatLayerNorm(nn.Module):
         qmin = -(2 ** (self.bitwidth - 1))
         qmax = 2 ** (self.bitwidth - 1) - 1
         y_int = jnp.clip(q.floor_ste(y / out_scale), qmin, qmax)
-        return y_int * out_scale, out_scale
+        return y_int * out_scale, out_scale, y_int
 
 
 # ---------------------------------------------------------------------------

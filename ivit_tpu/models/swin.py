@@ -176,9 +176,10 @@ class SwinBlock(nn.Module):
             window_size = min(self.input_resolution)
             shift_size = 0
 
-        x, s = self.norm_factory(self.dim, name="norm1")(
+        x, s, x_int = self.norm_factory(self.dim, name="norm1")(
             x_1, s_1, running_stat=running_stat)
-        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         x = x.reshape(b, h, w, c)
 
         if shift_size > 0:
@@ -204,9 +205,10 @@ class SwinBlock(nn.Module):
             x, s, identity=x_1, identity_scale=s_1,
             running_stat=running_stat)
 
-        x, s = self.norm_factory(self.dim, name="norm2")(
+        x, s, x_int = self.norm_factory(self.dim, name="norm2")(
             x_2, s_2, running_stat=running_stat)
-        x, s = QuantAct(name="qact3")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact3")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         x, s = Mlp(int(self.dim * self.mlp_ratio), self.dim,
                    act_factory=self.gelu_factory, name="mlp")(
                        x, s, running_stat=running_stat, train=train)
@@ -232,9 +234,10 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, -1, 4 * c)
-        x, s = self.norm_factory(4 * self.dim, name="norm")(
+        x, s, x_int = self.norm_factory(4 * self.dim, name="norm")(
             x, s, running_stat=running_stat)
-        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         x, s = QuantLinear(2 * self.dim, use_bias=False, name="reduction")(
             x, s)
         x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat)
@@ -311,9 +314,10 @@ class SwinTransformer(nn.Module):
                                         x, s, running_stat=running_stat)
 
         num_features = int(self.embed_dim * 2 ** (num_layers - 1))
-        x, s = norm_factory(num_features, name="norm")(
+        x, s, x_int = norm_factory(num_features, name="norm")(
             x, s, running_stat=running_stat)
-        x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         # avgpool over tokens, computed on the exact ints (reference:
         # AdaptiveAvgPool1d on the fake-quant floats, swin_quant.py:553).
         # A float mean's divide-by-N and product roundings are compilation-

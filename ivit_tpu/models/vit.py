@@ -117,8 +117,11 @@ class PatchEmbed(nn.Module):
         x = x.reshape(b, h * w, c)
         if self.norm_factory is not None:
             x, s = QuantAct(name="qact_before_norm")(x, s, running_stat=running_stat)
-            x, s = self.norm_factory(c, name="norm")(x, s, running_stat=running_stat)
-        x, s = QuantAct(self.bitwidth_out, name="qact")(x, s, running_stat=running_stat)
+            x, s, x_int = self.norm_factory(c, name="norm")(x, s, running_stat=running_stat)
+            x, s = QuantAct(self.bitwidth_out, name="qact")(
+                x, s, running_stat=running_stat, exact_int=x_int)
+        else:
+            x, s = QuantAct(self.bitwidth_out, name="qact")(x, s, running_stat=running_stat)
         return x, s
 
 
@@ -190,9 +193,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x_1, s_1, *, running_stat=False, train=False):
-        x, s = self.norm_factory(self.dim, name="norm1")(
+        x, s, x_int = self.norm_factory(self.dim, name="norm1")(
             x_1, s_1, running_stat=running_stat)
-        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact1")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         x, s = Attention(
             self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
@@ -205,9 +209,10 @@ class Block(nn.Module):
         x_2, s_2 = QuantAct(self.norm2_in_bw, name="qact2")(
             x, s, identity=x_1, identity_scale=s_1, running_stat=running_stat)
 
-        x, s = self.norm_factory(self.dim, name="norm2")(
+        x, s, x_int = self.norm_factory(self.dim, name="norm2")(
             x_2, s_2, running_stat=running_stat)
-        x, s = QuantAct(name="qact3")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact3")(x, s, running_stat=running_stat,
+                                      exact_int=x_int)
         x, s = Mlp(int(self.dim * self.mlp_ratio), self.dim,
                    act_factory=self.gelu_factory, drop=self.drop,
                    bitwidth_out=self.mlp_out_bw, name="mlp")(
@@ -287,9 +292,10 @@ class VisionTransformer(nn.Module):
                 att_block_out_bw=bw.att_block_out,
                 name=f"blocks_{i}")(x, s, running_stat=running_stat, train=train)
 
-        x, s = norm_factory(self.embed_dim, name="norm")(
+        x, s, x_int = norm_factory(self.embed_dim, name="norm")(
             x, s, running_stat=running_stat)
         x = x[:, 0]
-        x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat)
+        x, s = QuantAct(name="qact2")(x, s, running_stat=running_stat,
+                                      exact_int=x_int[:, 0])
         x, _ = QuantLinear(self.num_classes, name="head")(x, s)
         return x

@@ -213,8 +213,12 @@ def ibert_layernorm_int(x_int, weight, bias, shift,
 def ibert_layernorm(x, scaling_factor, weight, bias, shift,
                     overflow_handling: bool = True,
                     use_int_sqrt: bool = False):
-    """I-BERT LayerNorm on fake-quant floats; see :func:`ibert_layernorm_int`."""
+    """I-BERT LayerNorm on fake-quant floats; see :func:`ibert_layernorm_int`.
+
+    Returns ``(x_out, out_scale, new_shift, y_int)`` — the exact integer
+    rides along for the following QuantAct (ops/quant._requant_exact).
+    """
     y_int, out_scale, new_shift = ibert_layernorm_int(
         x / scaling_factor, weight, bias, shift,
         overflow_handling=overflow_handling, use_int_sqrt=use_int_sqrt)
-    return y_int * out_scale, out_scale, new_shift
+    return y_int * out_scale, out_scale, new_shift, y_int

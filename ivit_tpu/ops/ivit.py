@@ -189,6 +189,11 @@ def shift_gelu(x, scaling_factor, output_bit: int = 8, n: int = 23):
 
 
 def i_layernorm(x, scaling_factor, weight, bias):
-    """I-LayerNorm on fake-quant floats; see :func:`i_layernorm_int`."""
+    """I-LayerNorm on fake-quant floats; see :func:`i_layernorm_int`.
+
+    Returns ``(x_out, out_scale, y_int)`` — the exact integer rides along
+    so the following QuantAct requants from it directly (LN ints are
+    ~2**30, beyond f32-exact; see ops/quant._requant_exact).
+    """
     y_int, out_scale = i_layernorm_int(rdiv(x, scaling_factor), weight, bias)
-    return y_int * out_scale, out_scale
+    return y_int * out_scale, out_scale, y_int

@@ -143,12 +143,12 @@ def _requant(acc, m, bits):
 
 
 def _ln_requant(y, sln, m, bits):
-    """LN-edge requant replicating the sim's lossy float roundtrip: LN ints
-    are ~2**30 (> f32-exact), so the recovered integer is the single-rounded
-    chain round(rdiv(fl(y*s), s)), not the raw int — see
-    engine/vit_int._ln_requant for the full analysis."""
-    z = jnp.round(_rdiv(y * sln, sln))
-    return _requant(z, m, bits)
+    """LN-edge requant on the exact LN integer (see
+    engine/vit_int._ln_requant: the sim's LN edges now carry the exact int,
+    so no lossy float-roundtrip replication remains — the round-2 version
+    ran a correctly-rounded divide per element here).  ``sln`` unused."""
+    del sln
+    return _requant(y, m, bits)
 
 
 def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):

@@ -554,6 +554,46 @@ def _requant_id_bwd(num_bits, res, g):
 _requant_id.defvjp(_requant_id_fwd, _requant_id_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _requant_exact(num_bits, x, z_int, pre_scale, out_scale):
+    """Requant from the producer's EXACT integer (LN edges).
+
+    LayerNorm outputs are ~2**30 integers — beyond f32-exact — so the
+    generic recovery ``z = round(rdiv(x, pre_scale))`` is a LOSSY roundtrip
+    of the fake-quant product ``fl(y*s)`` there (z lands on the 24-bit f32
+    grid, one grid-ulp from the true int).  Round 2 replicated that lossy
+    chain in the engine/kernels (a correctly-rounded divide PER ELEMENT —
+    ~40% of DeiT-T engine time).  Instead the LN wrappers now hand their
+    exact integer through, and every path computes ``round(z_int * M)``
+    directly: sim == engine == kernels by construction, all-exact ops, no
+    divides.  Deviation vs the torch reference (quant_utils.py:178-261,
+    float64 requant of the f32 product): ~1 element in 4e7 flips one quant
+    step — inside the quantization-noise tolerance of
+    tests/test_torch_parity.py.
+    """
+    del x
+    n = 2 ** (num_bits - 1) - 1
+    z = jax.lax.stop_gradient(z_int)
+    out = jnp.round(z * rdiv(pre_scale, out_scale))
+    if num_bits in (4, 8, 16, 32):
+        out = jnp.clip(out, -n - 1, n)
+    return out * out_scale
+
+
+def _requant_exact_fwd(num_bits, x, z_int, pre_scale, out_scale):
+    out = _requant_exact(num_bits, x, z_int, pre_scale, out_scale)
+    return out, (z_int, pre_scale, out_scale)
+
+
+def _requant_exact_bwd(num_bits, res, g):
+    z_int, pre_scale, out_scale = res
+    return (g, jnp.zeros_like(z_int), jnp.zeros_like(pre_scale),
+            jnp.zeros_like(out_scale))
+
+
+_requant_exact.defvjp(_requant_exact_fwd, _requant_exact_bwd)
+
+
 def fixedpoint_requant(
     x,
     pre_scale,
@@ -561,6 +601,7 @@ def fixedpoint_requant(
     out_scale,
     identity=None,
     identity_scale=None,
+    exact_int=None,
 ):
     """Fake-quant dyadic requantization with optional fused residual add.
 
@@ -585,6 +626,11 @@ def fixedpoint_requant(
     """
     pre_scale = jax.lax.stop_gradient(pre_scale)
     out_scale = jax.lax.stop_gradient(out_scale)
+    if exact_int is not None:
+        if identity is not None:
+            raise ValueError("exact_int requant has no identity branch "
+                             "(LN edges carry no residual)")
+        return _requant_exact(num_bits, x, exact_int, pre_scale, out_scale)
     if identity is None:
         return _requant(num_bits, x, pre_scale, out_scale)
     identity_scale = jax.lax.stop_gradient(identity_scale)

@@ -127,14 +127,14 @@ def analyze_layernorm(scale, families, c=192):
     b = jnp.zeros(c)
     for fam in families:
         if fam == "ivit":
-            y, _ = ivit.i_layernorm(jnp.asarray(x), jnp.asarray([scale]), w, b)
+            y, _, _ = ivit.i_layernorm(jnp.asarray(x), jnp.asarray([scale]), w, b)
         elif fam == "ibert":
-            y, _, _ = ibert.ibert_layernorm(jnp.asarray(x),
+            y, _, _, _ = ibert.ibert_layernorm(jnp.asarray(x),
                                             jnp.asarray([scale]), w, b,
                                             jnp.zeros(1),
                                             overflow_handling=False)
         elif fam == "ibert_int_sqrt":
-            y, _, _ = ibert.ibert_layernorm(jnp.asarray(x),
+            y, _, _, _ = ibert.ibert_layernorm(jnp.asarray(x),
                                             jnp.asarray([scale]), w, b,
                                             jnp.zeros(1),
                                             overflow_handling=False,

@@ -88,7 +88,7 @@ def test_layernorm_no_overflow_shift_stays(rng):
     x = (rng.integers(-127, 128, size=(2, 4, c)) * s).astype(np.float32)
     w = jnp.ones(c)
     b = jnp.zeros(c)
-    y, out_s, new_shift = ibert.ibert_layernorm(
+    y, out_s, new_shift, _ = ibert.ibert_layernorm(
         jnp.asarray(x), jnp.asarray([s]), w, b, jnp.zeros(1),
         overflow_handling=True)
     assert float(jnp.max(new_shift)) == 0.0
@@ -105,7 +105,7 @@ def test_layernorm_overflow_raises_shift(rng):
     c = 768
     x_int = rng.integers(-(2**15), 2**15, size=(1, 4, c)).astype(np.float32)
     x = x_int * s
-    y, out_s, new_shift = ibert.ibert_layernorm(
+    y, out_s, new_shift, _ = ibert.ibert_layernorm(
         jnp.asarray(x), jnp.asarray([s]), jnp.ones(c), jnp.zeros(c),
         jnp.zeros(1), overflow_handling=True)
     assert float(jnp.max(new_shift)) > 0.0
@@ -122,7 +122,7 @@ def test_layernorm_int_sqrt_mode(rng):
     s = np.float32(0.05)
     c = 128
     x = (rng.integers(-127, 128, size=(2, 4, c)) * s).astype(np.float32)
-    y, _, _ = ibert.ibert_layernorm(
+    y, _, _, _ = ibert.ibert_layernorm(
         jnp.asarray(x), jnp.asarray([s]), jnp.ones(c), jnp.zeros(c),
         jnp.zeros(1), overflow_handling=False, use_int_sqrt=True)
     mean = x.mean(-1, keepdims=True)

@@ -102,7 +102,7 @@ def test_i_layernorm_vs_float_layernorm(rng):
     x = (rng.integers(-127, 128, size=(2, 8, c)) * s).astype(np.float32)
     w = jnp.asarray(rng.uniform(0.5, 1.5, size=c).astype(np.float32))
     b = jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1)
-    y, out_s = ivit.i_layernorm(jnp.asarray(x), jnp.asarray([s]), w, b)
+    y, out_s, _ = ivit.i_layernorm(jnp.asarray(x), jnp.asarray([s]), w, b)
 
     mean = x.mean(-1, keepdims=True)
     var = x.var(-1, keepdims=True)
