@@ -17,6 +17,7 @@ bit-identical outputs (tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,51 @@ from .nonlinear import (_exact_fma, _floor_div_int, _int_exp_shift, _int_sum,
                         _pow2, _rdiv, _sq_sum)
 
 INT32_MAX = 2.0**31 - 1
+
+
+def _mxu_mode() -> str:
+    """MXU operand dtype for the fused kernels: ``bf16`` (default) or ``int8``.
+
+    bf16 x bf16 -> f32 dots are BIT-IDENTICAL to the int8 x int8 -> int32
+    dots here: every operand is an int8-valued integer (exact in bf16's
+    8-bit mantissa), every product is computed exactly by the MXU and
+    accumulated in f32, partial sums stay exact while ``K * 2**14 < 2**24``
+    (all dots satisfy it; fc2's wide K is chunked), and the final
+    accumulator is inside the f32-exact 2**24 envelope the whole scheme
+    already relies on (engine/vit_int.py F32_EXACT audit taps — the QAT sim
+    computes these same accumulators in f32).  The win is layout, not math:
+    int8 MXU operands need (32,128)-tile repacking of every f32-held
+    intermediate, which dominated the kernels' "GEMM" time (see
+    runs/microbench_small_ibert.log: GEMM+requant floor ~10x the MXU ideal).
+    bf16 halves the repack and converts straight from the native f32 tiles.
+    Hardware-validated bitwise per config by scripts/tpu_validate.py.
+    """
+    return os.environ.get("IVIT_MXU", "bf16")
+
+
+def _dot_exact(a_f32, b_bf16, max_k: int = 1024):
+    """Exact integer GEMM on the MXU via bf16 operands, f32 accumulation.
+
+    ``a_f32``: int8-valued floats (any f32-register form); ``b_bf16``:
+    int8-valued bf16 weights.  Splits K into <=``max_k`` chunks so the
+    worst-case running partial sum ``K * 127 * 127`` stays under 2**24
+    (exact f32 accumulation); chunk sums are exact ints so their f32 add is
+    exact while the true total is in-envelope.
+    """
+    k = a_f32.shape[-1]
+    a = a_f32.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    if k <= max_k:
+        return jax.lax.dot_general(a, b_bf16, dims,
+                                   preferred_element_type=jnp.float32)
+    n_chunks = -(-k // max_k)
+    step = -(-k // n_chunks)
+    acc = None
+    for i in range(0, k, step):
+        part = jax.lax.dot_general(a[:, i:i + step], b_bf16[i:i + step], dims,
+                                   preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
 
 # I-BERT polynomial constants (ops/ibert.py)
 _IB_EXP_X0 = -0.6931
@@ -60,7 +106,7 @@ def _ibert_int_exp(x_int, s, fast_q=False):
     return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
 
 
-def _ctx_dot(probs_f32, v_int8, sm_bit):
+def _ctx_dot(probs_f32, v_int8, sm_bit, mxu="int8"):
     """probs (non-negative ints held in f32) @ int8 ``v`` -> int32.
 
     Mosaic on real hardware has no mixed-width integer dot ("Mix int/int -
@@ -75,6 +121,28 @@ def _ctx_dot(probs_f32, v_int8, sm_bit):
     bit-identical to the unfused engine's int16 x int8 dot.
     """
     dims = (((1,), (0,)), ((), ()))
+    if mxu == "bf16":
+        # v arrives as int8-valued bf16; probs are int8-valued (or split
+        # below into int8-valued halves) so every dot is exact bf16 x bf16
+        # -> f32 (see _mxu_mode).  The int16-probs recombination runs in
+        # int32 (hi<<8 reaches 2**30 where f32 adds would round); the final
+        # ctx is f32-exact by the engine's gemm_acc envelope audit.
+        if sm_bit <= 8:
+            return jax.lax.dot_general(probs_f32.astype(jnp.bfloat16),
+                                       v_int8, dims,
+                                       preferred_element_type=jnp.float32)
+        hi = jnp.floor(probs_f32 * (2.0**-8))
+        lo = probs_f32 - hi * 256.0 - 128.0
+        ones = jnp.ones(probs_f32.shape, jnp.bfloat16)
+        dot_hi = jax.lax.dot_general(hi.astype(jnp.bfloat16), v_int8, dims,
+                                     preferred_element_type=jnp.float32)
+        dot_lo = jax.lax.dot_general(lo.astype(jnp.bfloat16), v_int8, dims,
+                                     preferred_element_type=jnp.float32)
+        colsum = jax.lax.dot_general(ones, v_int8, dims,
+                                     preferred_element_type=jnp.float32)
+        ctx = ((dot_hi.astype(jnp.int32) << 8) + dot_lo.astype(jnp.int32)
+               + 128 * colsum.astype(jnp.int32))
+        return ctx.astype(jnp.float32)
     if sm_bit <= 8:
         return jax.lax.dot_general(probs_f32.astype(jnp.int8), v_int8, dims,
                                    preferred_element_type=jnp.int32)
@@ -163,8 +231,9 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, gelu_base, mlp_bits, out_bits, fast_exp,
+                ln_base, gelu_base, mlp_bits, out_bits, fast_exp, mxu,
                 ablate=""):
+    bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
     m_gelu = sc_ref[1]
@@ -176,35 +245,45 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     # ONLY (never set by the engine): it drops a stage to attribute kernel
     # time between the MXU GEMMs and the VPU nonlinearity chains.
     if "ln" in ablate:
-        y = jnp.clip(x_in, -128.0, 127.0).astype(jnp.int8)
+        y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
-        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
-    acc = jax.lax.dot_general(y, w1_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + b1_ref[...]
-    h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
+    if bf16:
+        acc = _dot_exact(y, w1_ref[...]) + b1_ref[...]
+        h = _requant(acc, m1_ref[...], 8)
+    else:
+        acc = jax.lax.dot_general(y.astype(jnp.int8), w1_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + b1_ref[...]
+        h = _requant(acc.astype(jnp.float32), m1_ref[...], 8)
 
     if "gelu" in ablate:
-        g = h.astype(jnp.int8)
+        g = h
     else:
         if gelu_base == "ivit":
             g = _shift_gelu(h, s_sig, fast_q=fast_exp)
         else:
             g = _ibert_gelu(h, s_sig)  # s_sig carries raw s_gelu for ibert
-        g = _requant(g, m_gelu, 8).astype(jnp.int8)
+        g = _requant(g, m_gelu, 8)
 
-    acc = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + b2_ref[...]
-    # fc2 requants into ITS OWN container (mlp_out bitwidth) before the
-    # residual's wider clip — on Swin these differ (8 vs 16) and using one
-    # width silently skipped the engine's 8-bit clamp
-    y2 = _requant(acc.astype(jnp.float32), m2_ref[...], mlp_bits)
+    if bf16:
+        acc = _dot_exact(g, w2_ref[...]) + b2_ref[...]
+        # fc2 requants into ITS OWN container (mlp_out bitwidth) before the
+        # residual's wider clip — on Swin these differ (8 vs 16) and using
+        # one width silently skipped the engine's 8-bit clamp
+        y2 = _requant(acc, m2_ref[...], mlp_bits)
+    else:
+        acc = jax.lax.dot_general(g.astype(jnp.int8), w2_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + b2_ref[...]
+        y2 = _requant(acc.astype(jnp.float32), m2_ref[...], mlp_bits)
 
     lim = 2.0 ** (out_bits - 1)
     out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
@@ -216,16 +295,22 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
                 ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
                 out_dtype=jnp.int8, fast_exp: bool = False,
-                tile_rows: int = 512, interpret: bool = False, ablate=""):
+                tile_rows: int = 512, interpret: bool = False, ablate="",
+                mxu: str | None = None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
     Wait-free residual: the kernel re-reads its own input tile for the
     integer residual add, so the caller passes the *block input* once.
     """
+    mxu = _mxu_mode() if mxu is None else mxu
     r, c = x_int.shape
     hd = fc1_w.shape[1]
     tile = min(tile_rows, r)
     grid = (pl.cdiv(r, tile),)
+    if mxu == "bf16":
+        fc1_w, fc2_w = fc1_w.astype(jnp.bfloat16), fc2_w.astype(jnp.bfloat16)
+        # biases are f32-exact ints by scheme (the sim adds them in f32)
+        fc1_b, fc2_b = fc1_b.astype(jnp.float32), fc2_b.astype(jnp.float32)
     gelu_s = (jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702
               if gelu_base == "ivit"
               else jnp.reshape(s_gelu, ()).astype(jnp.float32))
@@ -242,7 +327,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         out = pl.pallas_call(
             functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
                               mlp_bits=mlp_bits, out_bits=out_bits,
-                              fast_exp=fast_exp, ablate=ablate),
+                              fast_exp=fast_exp, mxu=mxu, ablate=ablate),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -313,7 +398,9 @@ def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid, fast_q=False):
 def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
-                 n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp):
+                 n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
+                 mxu):
+    bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(t * np_, c)
@@ -327,18 +414,35 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
 
     # ``ablate``: perf-diagnostic stage dropping for kernel_microbench only
     if "ln" in ablate:
-        y = jnp.clip(x_in, -128.0, 127.0).astype(jnp.int8)
+        y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
-        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
-    acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + bqkv_ref[...]
-    qkv = _requant(acc.astype(jnp.float32), mqkv_ref[...], 8).astype(jnp.int8)
+    if bf16:
+        if n_valid != np_:
+            # padding-token rows are all-zero -> LN variance 0 -> factor inf
+            # -> NaN.  The int8 path launders those NaNs through the int8
+            # cast (pad rows never reach valid outputs: softmax zeroes pad
+            # columns so k/v pad rows always multiply by an exact 0), but
+            # bf16 keeps NaN and 0.0 * NaN would poison the ctx contraction.
+            # Zeroing pad rows here is value-neutral for every valid output.
+            idx = jax.lax.broadcasted_iota(jnp.int32, (t * np_, 1), 0)
+            tok = idx - (idx // np_) * np_
+            y = jnp.where(tok < n_valid, y, 0.0)
+        acc = _dot_exact(y, wqkv_ref[...]) + bqkv_ref[...]
+        qkv = _requant(acc, mqkv_ref[...], 8).astype(jnp.bfloat16)
+    else:
+        acc = jax.lax.dot_general(y.astype(jnp.int8), wqkv_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + bqkv_ref[...]
+        qkv = _requant(acc.astype(jnp.float32),
+                       mqkv_ref[...], 8).astype(jnp.int8)
+    ptype = jnp.float32 if bf16 else jnp.int32
 
     # per-(image, head) score GEMMs land in one scratch so the requant +
     # softmax VPU chain (the exp tower dominates the elementwise cost) runs
@@ -353,7 +457,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                           (ti * num_heads + h + 1) * np_)
             scores_ref[srows, :] = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+                preferred_element_type=ptype).astype(jnp.float32)
 
     lim_a = 2.0 ** (attn_bits - 1)
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
@@ -377,15 +481,21 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
             srows = slice((ti * num_heads + h) * np_,
                           (ti * num_heads + h + 1) * np_)
-            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [Np, Dh]
+            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
+                             mxu)                                # [Np, Dh]
             ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
                 ctx_h.astype(jnp.float32), m_av, 8)
 
-    acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8), wproj_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + bproj_ref[...]
-    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], proj_bits)
+    if bf16:
+        acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
+        y2 = _requant(acc, mproj_ref[...], proj_bits)
+    else:
+        acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8),
+                                  wproj_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + bproj_ref[...]
+        y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], proj_bits)
 
     lim = 2.0 ** (out_bits - 1)
     out = jnp.clip(jnp.round(y2 * m_res_x) + jnp.round(x_in * m_res_id),
@@ -399,7 +509,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  ln_base="ivit", sm_base="ivit", s_exp_act=None,
                  sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
                  out_dtype=jnp.int8, fast_exp: bool = False,
-                 img_tile: int = 2, interpret: bool = False, ablate=""):
+                 img_tile: int = 2, interpret: bool = False, ablate="",
+                 mxu: str | None = None):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
@@ -407,9 +518,13 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     int8 attention with in-VMEM Shiftmax -> proj GEMM -> integer residual.
     ivit softmax family only (others use the unfused path).
     """
+    mxu = _mxu_mode() if mxu is None else mxu
     b, np_, c = x_int.shape
     t = min(img_tile, b)
     grid = (pl.cdiv(b, t),)
+    if mxu == "bf16":
+        qkv_w, proj_w = qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16)
+        qkv_b, proj_b = qkv_b.astype(jnp.float32), proj_b.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.reshape(m_attn, ()).astype(jnp.float32),
         jnp.reshape(s_attn, ()).astype(jnp.float32),
@@ -427,7 +542,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               num_heads=num_heads, ablate=ablate,
                               n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
                               out_bits=out_bits, attn_bits=attn_bits,
-                              fast_exp=fast_exp),
+                              fast_exp=fast_exp, mxu=mxu),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -464,7 +579,8 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
                       mproj_ref, sc_ref, o_ref, ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
-                      fast_exp):
+                      fast_exp, mxu):
+    bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
     x_in = x_ref[...].astype(jnp.float32).reshape(wt * n, c)
@@ -481,12 +597,19 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         y = _i_layernorm(x_in, lnb_ref[...])
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8).astype(jnp.int8)
+    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
-    acc = jax.lax.dot_general(y, wqkv_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + bqkv_ref[...]
-    qkv = _requant(acc.astype(jnp.float32), mqkv_ref[...], 8).astype(jnp.int8)
+    if bf16:
+        acc = _dot_exact(y, wqkv_ref[...]) + bqkv_ref[...]
+        qkv = _requant(acc, mqkv_ref[...], 8).astype(jnp.bfloat16)
+    else:
+        acc = jax.lax.dot_general(y.astype(jnp.int8), wqkv_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + bqkv_ref[...]
+        qkv = _requant(acc.astype(jnp.float32),
+                       mqkv_ref[...], 8).astype(jnp.int8)
+    ptype = jnp.float32 if bf16 else jnp.int32
 
     # scores per (window, head) into one scratch; rel-pos bias is added
     # BEFORE the int8 clip and the shift mask AFTER it, exactly as the
@@ -498,7 +621,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             k_h = qkv[rows, c + h * hd:c + (h + 1) * hd]
             s32 = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [n, n]
+                preferred_element_type=ptype)                # [n, n]
             s = jnp.clip(jnp.round(s32.astype(jnp.float32) * m_attn),
                          -128.0, 127.0)
             a = jnp.clip(jnp.round(s * m_attn2) + rel_ref[h], -128.0, 127.0)
@@ -523,15 +646,21 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
             v_h = qkv[rows, 2 * c + h * hd:2 * c + (h + 1) * hd]
             srows = slice((w * num_heads + h) * n,
                           (w * num_heads + h + 1) * n)
-            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit)  # [n, hd]
+            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
+                             mxu)                                # [n, hd]
             ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(
                 ctx_h.astype(jnp.float32), m_av, 8)
 
-    acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8), wproj_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    acc = acc + bproj_ref[...]
-    y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], 16)
+    if bf16:
+        acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
+        y2 = _requant(acc, mproj_ref[...], 16)
+    else:
+        acc = jax.lax.dot_general(ctx_ref[...].astype(jnp.int8),
+                                  wproj_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc = acc + bproj_ref[...]
+        y2 = _requant(acc.astype(jnp.float32), mproj_ref[...], 16)
 
     # integer residual on the window-permuted layout: the residual add is
     # elementwise, so permute(residual(x)) == residual(permute(x)) and the
@@ -548,7 +677,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       num_heads, n_windows,
                       ln_base="ivit", sm_base="ivit", s_exp_act=None,
                       sm_bit=8, fast_exp: bool = False, win_tile: int = 8,
-                      interpret: bool = False):
+                      interpret: bool = False, mxu: str | None = None):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
     ``xw``: int16 [B*nW, n, C] — the PRE-norm stage activations, already
@@ -564,6 +693,10 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
     mask, reference swin_quant.py:223-247) or None.  ``rel_addend``:
     f32 [H, n, n] requantized relative-position-bias integers.
     """
+    mxu = _mxu_mode() if mxu is None else mxu
+    if mxu == "bf16":
+        qkv_w, proj_w = qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16)
+        qkv_b, proj_b = qkv_b.astype(jnp.float32), proj_b.astype(jnp.float32)
     bw_, n, c = xw.shape
     wt = max(1, min(win_tile, n_windows))
     while n_windows % wt:
@@ -596,7 +729,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
             functools.partial(_swin_attn_kernel, ln_base=ln_base,
                               sm_base=sm_base, num_heads=num_heads,
                               sm_bit=sm_bit, mask_per_win=mask_per_win,
-                              fast_exp=fast_exp),
+                              fast_exp=fast_exp, mxu=mxu),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,

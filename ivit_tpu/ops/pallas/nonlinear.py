@@ -142,7 +142,8 @@ def shiftmax_p(scores_int8, s_attn, output_bit: int = 8, *,
     n_valid = n if n_valid is None else n_valid
     x = scores_int8.reshape(-1, n)
     rows = x.shape[0]
-    tile = min(tile_rows, rows)
+    vmem_rows = max(8, (10 * 2**20 // (n * 40)) // 8 * 8)  # see shift_gelu
+    tile = min(tile_rows, vmem_rows, rows)
     grid = (pl.cdiv(rows, tile),)
     s = jnp.reshape(s_attn, (1,)).astype(jnp.float32)
     interp = _interp(interpret)
@@ -201,7 +202,11 @@ def shift_gelu_requant_p(x_int8, s_gelu, m_out, output_bit: int = 8,
     h = shape[-1]
     x = x_int8.reshape(-1, h)
     rows = x.shape[0]
-    tile = min(tile_rows, rows)
+    # scoped-VMEM budget: the exp chain keeps ~10 live f32 temporaries of the
+    # tile, and Mosaic's stack limit is 16MB (hit at DeiT-S h=1536, tile 512:
+    # 28.4MB).  Cap the tile so 10 * tile * h * 4B stays under ~10MB.
+    vmem_rows = max(8, (10 * 2**20 // (h * 40)) // 8 * 8)
+    tile = min(tile_rows, vmem_rows, rows)
     grid = (pl.cdiv(rows, tile),)
     scalars = jnp.stack([
         jnp.reshape(s_gelu, ()).astype(jnp.float32) * 1.702,

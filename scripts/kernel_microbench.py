@@ -45,6 +45,8 @@ def build_spec(mname, fam=("ivit", "ivit", "ivit")):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_tiny_patch16_224")
+    ap.add_argument("--fam", default="ivit",
+                    help="nonlinearity family triple (one name for all three)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--attn-tiles", default="1,2,4,8")
@@ -59,7 +61,7 @@ def main():
     import ivit_tpu.ops.pallas.block as pblk
     from ivit_tpu.utils.benchmarking import time_inloop
 
-    spec = build_spec(args.model)
+    spec = build_spec(args.model, fam=(args.fam,) * 3)
     cfg = spec.config
     p = spec.params
     blk = p["blocks"][0]

@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_tiny_patch16_224")
+    ap.add_argument("--fam", default="ivit")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--modes", default="blocks,ops,xla")
@@ -31,7 +32,7 @@ def main():
     from ivit_tpu.utils.benchmarking import time_dispatch
     from scripts.kernel_microbench import build_spec
 
-    spec = build_spec(args.model)
+    spec = build_spec(args.model, fam=(args.fam,) * 3)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(args.batch, 224, 224, 3))
                     .astype(np.float32))
