@@ -33,7 +33,7 @@ INT32_MAX = 2.0**31 - 1
 
 
 def _mxu_mode() -> str:
-    """MXU operand dtype for the fused kernels: ``bf16`` (default) or ``int8``.
+    """MXU operand dtype for the fused kernels: ``int8`` (default) or ``bf16``.
 
     bf16 x bf16 -> f32 dots are BIT-IDENTICAL to the int8 x int8 -> int32
     dots here: every operand is an int8-valued integer (exact in bf16's
@@ -42,24 +42,65 @@ def _mxu_mode() -> str:
     (all dots satisfy it; fc2's wide K is chunked), and the final
     accumulator is inside the f32-exact 2**24 envelope the whole scheme
     already relies on (engine/vit_int.py F32_EXACT audit taps — the QAT sim
-    computes these same accumulators in f32).  The win is layout, not math:
-    int8 MXU operands need (32,128)-tile repacking of every f32-held
-    intermediate, which dominated the kernels' "GEMM" time (see
-    runs/microbench_small_ibert.log: GEMM+requant floor ~10x the MXU ideal).
-    bf16 halves the repack and converts straight from the native f32 tiles.
-    Hardware-validated bitwise per config by scripts/tpu_validate.py.
+    computes these same accumulators in f32).
+
+    The default is ``int8``: round-2 hardware A/Bs showed bf16 operands buy
+    nothing (DeiT-S fused 4,766 img/s bf16 vs 4,779-4,780 int8,
+    runs/path_compare_small_ibert.log vs runs/bench_now.log) while costing
+    ~25% more scoped VMEM per tile (the round-2 driver bench OOMed on it,
+    BENCH_r02.json).  bf16 stays available for A/Bs via ``IVIT_MXU=bf16``
+    or the per-call ``mxu=`` kwarg, with the tile cap below keeping it
+    inside the 16MB Mosaic scoped-VMEM stack.
     """
-    return os.environ.get("IVIT_MXU", "bf16")
+    return os.environ.get("IVIT_MXU", "int8")
+
+
+# Scoped-VMEM tile caps for the fused MLP kernel.  Mosaic's per-kernel
+# scoped-allocation (stack) limit is 16MB; the kernel's live f32 temporaries
+# are dominated by the [tile, hidden] GELU/exp chain, so scoped bytes scale
+# ~linearly in tile*hd at fixed family/mode.  Bytes-per-(tile*hd)-element
+# constants are calibrated against real-TPU compiles:
+#   ibert/bf16  tile 512 x hd 1536 -> 19.46M measured (round-2 driver OOM,
+#               BENCH_r02.json)  => 24.8 B/elt; padded to 28.
+#   ibert/int8  tile 512 x hd 1536 -> compiles green (driver bench)
+#               => <=21.3 B/elt; 20 keeps the proven tile-512 config intact.
+#   ivit shift-GELU keeps ~10 live f32 hidden-tile temps (28.4M at
+#               512x1536 standalone, nonlinear.py budget note) => 40/48.
+# scripts/check_vmem_geometries.py re-verifies every real model geometry by
+# actually compiling on the TPU (wired into scripts/tpu_session.sh);
+# tests/test_vmem_budget.py checks this arithmetic for every geometry on CPU.
+_MLP_BYTES_PER_ELT = {("ivit", "int8"): 40, ("ivit", "bf16"): 48,
+                      ("ibert", "int8"): 20, ("ibert", "bf16"): 28}
+_VMEM_BUDGET = 16 * 2**20
+
+
+def _mlp_tile(tile_rows: int, rows: int, hd: int, mxu: str,
+              gelu_base: str) -> int:
+    """Largest row tile that fits the scoped-VMEM budget (prefers an even
+    divisor of ``rows`` so Mosaic never emits partial-tile masked stores,
+    the op class behind the round-2 int8-scratch miscompile)."""
+    bpe = _MLP_BYTES_PER_ELT.get((gelu_base, mxu), 48)
+    tile = min(tile_rows, rows)
+    if tile * hd * bpe <= _VMEM_BUDGET:
+        return tile
+    cap = max(8, (_VMEM_BUDGET // (hd * bpe)) // 8 * 8)
+    for t in range(cap, max(8, cap // 2) - 1, -8):
+        if rows % t == 0:
+            return t
+    return cap
 
 
 def _dot_exact(a_f32, b_bf16, max_k: int = 1024):
     """Exact integer GEMM on the MXU via bf16 operands, f32 accumulation.
 
     ``a_f32``: int8-valued floats (any f32-register form); ``b_bf16``:
-    int8-valued bf16 weights.  Splits K into <=``max_k`` chunks so the
-    worst-case running partial sum ``K * 127 * 127`` stays under 2**24
-    (exact f32 accumulation); chunk sums are exact ints so their f32 add is
-    exact while the true total is in-envelope.
+    int8-valued bf16 weights.  Splits K into <=``max_k`` chunks so each
+    chunk's dot is exact f32 (worst case ``1024 * 127 * 127 < 2**24``).
+    Chunk partials are accumulated in **int32**, not f32: each chunk sum is
+    an exact integer, but with >=3 chunks (fc2 K=3072 DeiT-B / 4096 Swin-B)
+    a cancelling intermediate f32 prefix could transiently exceed 2**24 and
+    round even when the final total (audited by the engine's gemm_acc
+    envelope tap) is in-envelope.  int32 accumulation is exact to 2**31.
     """
     k = a_f32.shape[-1]
     a = a_f32.astype(jnp.bfloat16)
@@ -73,8 +114,9 @@ def _dot_exact(a_f32, b_bf16, max_k: int = 1024):
     for i in range(0, k, step):
         part = jax.lax.dot_general(a[:, i:i + step], b_bf16[i:i + step], dims,
                                    preferred_element_type=jnp.float32)
+        part = part.astype(jnp.int32)
         acc = part if acc is None else acc + part
-    return acc
+    return acc.astype(jnp.float32)
 
 # I-BERT polynomial constants (ops/ibert.py)
 _IB_EXP_X0 = -0.6931
@@ -131,6 +173,14 @@ def _ctx_dot(probs_f32, v_int8, sm_bit, mxu="int8"):
             return jax.lax.dot_general(probs_f32.astype(jnp.bfloat16),
                                        v_int8, dims,
                                        preferred_element_type=jnp.float32)
+        # dot_lo's worst case is n * 128 * 127 — exact in f32 only while the
+        # contraction length stays under 2**24 // (128 * 127) ~ 1032 columns
+        # (all current configs: ViT n<=200, Swin n=49).  Longer token
+        # streams must chunk like _dot_exact; fail loudly instead of
+        # silently rounding (ADVICE r2).
+        assert probs_f32.shape[-1] <= 2**24 // (128 * 127), (
+            f"bf16 int16-probs ctx dot exceeds the f32-exact envelope at "
+            f"n={probs_f32.shape[-1]}; chunk the contraction")
         hi = jnp.floor(probs_f32 * (2.0**-8))
         lo = probs_f32 - hi * 256.0 - 128.0
         ones = jnp.ones(probs_f32.shape, jnp.bfloat16)
@@ -305,7 +355,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     mxu = _mxu_mode() if mxu is None else mxu
     r, c = x_int.shape
     hd = fc1_w.shape[1]
-    tile = min(tile_rows, r)
+    tile = _mlp_tile(tile_rows, r, hd, mxu, gelu_base)
     grid = (pl.cdiv(r, tile),)
     if mxu == "bf16":
         fc1_w, fc2_w = fc1_w.astype(jnp.bfloat16), fc2_w.astype(jnp.bfloat16)

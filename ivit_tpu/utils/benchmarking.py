@@ -81,20 +81,27 @@ def profile_device_ops(fn: Callable, *args, iters: int = 5):
             with gzip.open(path, "rt") as f:
                 events += json.load(f).get("traceEvents", [])
 
+    import re
+
     pid_names = {e["pid"]: e["args"].get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name" and "args" in e}
     dev_pids = {p for p, n in pid_names.items()
                 if "/device:" in n or "TPU" in n or "Device" in n}
     # The device plane carries one line of whole-module spans ("XLA Modules",
-    # e.g. ``jit__lambda(...)``) that PARENT the per-op line ("XLA Ops");
-    # summing both double-counts every op.  Keep per-op lines only when the
-    # trace labels them (fall back to everything otherwise).
+    # e.g. ``jit__lambda(1114654...)``) that PARENT the per-op line
+    # ("XLA Ops"); summing both double-counts every op.  Keep per-op lines
+    # only when the trace labels them; this environment's tunnel traces label
+    # NEITHER line (round-2 BENCH_MATRIX had ~50% of device time land in a
+    # single ``jit__lambda(<fingerprint>)`` row and model_total ~2x wall), so
+    # also drop spans by name: XLA module spans are named
+    # ``<computation>(<fingerprint>)`` while op spans are ``<op>.<n>``.
     tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "thread_name" and "args" in e}
     op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
     module_tids = {k for k, n in tid_names.items() if "XLA Modules" in n}
+    module_name = re.compile(r"\(\d+\)$")
     agg: dict = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -105,7 +112,10 @@ def profile_device_ops(fn: Callable, *args, iters: int = 5):
                 continue
         elif key in module_tids:
             continue
-        rec = agg.setdefault(e.get("name", "?"), [0.0, 0])
+        name = e.get("name", "?")
+        if module_name.search(name):
+            continue
+        rec = agg.setdefault(name, [0.0, 0])
         rec[0] += float(e.get("dur", 0.0))
         rec[1] += 1
     return {k: {"us_per_iter": v[0] / iters, "calls_per_iter": v[1] / iters}

@@ -75,8 +75,16 @@ def test_engine_standalone_kernels_match_unfused(rng):
     np.testing.assert_allclose(fused, base, atol=1e-6)
 
 
-def test_engine_block_kernels_match_unfused(rng):
-    """Fused block-kernel engine (padded tokens) == unfused engine, exactly."""
+import pytest
+
+
+@pytest.mark.parametrize("mxu", ["int8", "bf16"])
+def test_engine_block_kernels_match_unfused(rng, mxu, monkeypatch):
+    """Fused block-kernel engine (padded tokens) == unfused engine, exactly.
+
+    Parametrized over both MXU operand modes (ADVICE r2): whichever mode is
+    the env default, the other stays bit-identical under CI too.
+    """
     import sys
     sys.path.insert(0, "tests")
     from test_engine import build_calibrated
@@ -85,6 +93,7 @@ def test_engine_block_kernels_match_unfused(rng):
     from ivit_tpu.engine import freeze_model
     from ivit_tpu.engine.vit_int import engine_forward
 
+    monkeypatch.setenv("IVIT_MXU", mxu)
     for gelu, softmax, ln in (("ivit", "ivit", "ivit"),
                               ("ivit", "ivit", "ibert"),
                               ("ibert", "ibert", "ivit")):
