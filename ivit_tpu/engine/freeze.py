@@ -102,6 +102,11 @@ class EngineConfig:
     # divide-free exact floor_div_int (ops/quant.exp_fastdiv_ok on every
     # block's x0) — identical bits, ~3x cheaper on the VPU hot path
     fast_exp: bool = False
+    # freeze-time gate: the ibert 2nd-order polynomials (int_exp's
+    # a(r+b)r+c, int_erf's t**2+c) may run as plain mul-adds instead of the
+    # Dekker exact_fma — identical bits while every operand, product and
+    # sum is inside the f32-exact 2**24 envelope (_poly_fast_gate)
+    fast_poly: bool = False
 
     @property
     def head_dim(self):
@@ -156,6 +161,32 @@ def _exp_fast_gate(sm_base: str, gelu_base: str, s_attn, s_gelu) -> bool:
         s_sig = np.float32(np.float32(s_gelu) * np.float32(1.702))
         x0 = np.floor(np.float32(-1.0) / s_sig)
         ok = ok and exp_fastdiv_ok(x0, 23)
+    return bool(ok)
+
+
+def _poly_fast_gate(sm_base: str, gelu_base: str, s_attn, s_gelu) -> bool:
+    """May the block's ibert polynomials use the plain mul-add form?
+
+    Recomputes the integer constants exactly as the traced code does (numpy
+    f32 division is correctly rounded, bit-matching ``rdiv``) and bounds
+    every product/sum in the polynomial against the f32-exact 2**24
+    envelope; inside it, FMA contraction and association are value-neutral,
+    so the plain form equals ``exact_fma`` in every compilation context.
+    """
+    from ..ops import ibert as _ib
+    LIM = 2.0**24
+    ok = True
+    if sm_base == "ibert":
+        s = np.float32(s_attn)
+        x0 = abs(np.floor(np.float32(_ib.EXP_X0) / s))
+        b = np.floor(np.float32(_ib.EXP_B) / s)
+        c = abs(np.floor(np.float32(_ib.EXP_C) / np.float32(s * s)))
+        ok = ok and bool(x0 * (x0 + abs(b)) + c < LIM)
+    if gelu_base == "ibert":
+        se = np.float32(np.float32(s_gelu) / np.float32(_ib.GELU_K))
+        b = abs(np.floor(np.float32(_ib.GELU_B) / se))
+        c = abs(np.floor(np.float32(_ib.GELU_C) / np.float32(se * se)))
+        ok = ok and bool(b * b + c < LIM)
     return bool(ok)
 
 
@@ -253,6 +284,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     blocks: List[Dict[str, Any]] = []
     s_block_in = s_block0
     fast_exp = True
+    fast_poly = True
     for i in range(cfg.depth):
         bp = P[f"blocks_{i}"]
         bq = Q[f"blocks_{i}"]
@@ -375,10 +407,12 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         blk["m_res2_id"] = requant_multiplier(s_res1, s_block_out)
 
         fast_exp = fast_exp and _exp_fast_gate(sm_base, gelu_base, s_attn, s_g)
+        fast_poly = fast_poly and _poly_fast_gate(sm_base, gelu_base,
+                                                  s_attn, s_g)
         blocks.append(blk)
         s_block_in = s_block_out
 
-    cfg = dataclasses.replace(cfg, fast_exp=fast_exp)
+    cfg = dataclasses.replace(cfg, fast_exp=fast_exp, fast_poly=fast_poly)
     p["blocks"] = blocks
 
     # --- final norm -> cls select -> qact2 -> head ---

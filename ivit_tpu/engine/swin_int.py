@@ -114,6 +114,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     blocks: List[Dict[str, Any]] = []
     s_in = s0
     fast_exp = True
+    fast_poly = True
     grid = cfg.img_size // cfg.patch_size
     for i_layer, depth in enumerate(cfg.depths):
         dim = int(cfg.embed_dim * 2 ** i_layer)
@@ -237,8 +238,10 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_out = _act_scale(bq, "qact4", 16)
             blk["m_res2_x"] = requant_multiplier(s_mlp, s_out)
             blk["m_res2_id"] = requant_multiplier(s_res1, s_out)
-            from .freeze import _exp_fast_gate
+            from .freeze import _exp_fast_gate, _poly_fast_gate
             fast_exp = fast_exp and _exp_fast_gate(
+                sm_base, cfg.base_type("gelu"), blk["s_attn"], blk["s_gelu"])
+            fast_poly = fast_poly and _poly_fast_gate(
                 sm_base, cfg.base_type("gelu"), blk["s_attn"], blk["s_gelu"])
             blocks.append(blk)
             s_in = s_out
@@ -279,7 +282,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     p["head_scale"] = head_scale
 
     from .freeze import _to_device
-    cfg = dataclasses.replace(cfg, layout=tuple(layout), fast_exp=fast_exp)
+    cfg = dataclasses.replace(cfg, layout=tuple(layout), fast_exp=fast_exp,
+                              fast_poly=fast_poly)
     return SwinEngineSpec(config=cfg, params=_to_device(p))
 
 
@@ -464,7 +468,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                 num_heads=heads, n_windows=nw,
                 ln_base=cfg.base_type("ln"), sm_base=cfg.base_type("softmax"),
                 s_exp_act=blk.get("s_exp_act"), sm_bit=cfg.bitwidths.softmax,
-                fast_exp=cfg.fast_exp)
+                fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly)
             yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
             if shift > 0:
                 yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
@@ -486,7 +490,8 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                 m_fc2=blk["m_fc2"], m_res_x=blk["m_res2_x"],
                 m_res_id=blk["m_res2_id"], ln_base=cfg.base_type("ln"),
                 gelu_base=cfg.base_type("gelu"), mlp_bits=8, out_bits=16,
-                out_dtype=jnp.int16, fast_exp=cfg.fast_exp)
+                out_dtype=jnp.int16, fast_exp=cfg.fast_exp,
+                fast_poly=cfg.fast_poly)
             x = xf.reshape(B, res * res, dim)
         else:
             y = _layernorm_int(cfg, x, blk["ln2_bias_int"],

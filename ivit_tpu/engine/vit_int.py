@@ -221,9 +221,11 @@ def _softmax_int(cfg, blk, scores_int, pallas=None):
     if base == "ibert":
         exp_int, _ = ibert_ops.ibert_softmax_exp_int(_f32(scores_int),
                                                      blk["s_attn"],
-                                                     fast_q=cfg.fast_exp)
-        # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311)
-        exp16 = jnp.clip(jnp.round(rdiv(exp_int, blk["s_exp_act"])),
+                                                     fast_q=cfg.fast_exp,
+                                                     fast_poly=cfg.fast_poly)
+        # internal 16-bit QuantAct on the raw exp ints (ibert:262,310-311);
+        # multiply form — same m as the sim (models/layers._ExpRangeAct)
+        exp16 = jnp.clip(jnp.round(exp_int * rdiv(1.0, blk["s_exp_act"])),
                          -(2.0**15), 2.0**15 - 1)
         exp_sum = exact_int_sum(exp16)
         _tap("exp_sum", exp_sum, 1.0, 2.0**31 - 1)
@@ -269,7 +271,8 @@ def _gelu_int(cfg, blk, x_int):
                                            fast_q=cfg.fast_exp)
         return y_int
     if base == "ibert":
-        y_int, _ = ibert_ops.ibert_gelu_int(x_int, blk["s_gelu"])
+        y_int, _ = ibert_ops.ibert_gelu_int(x_int, blk["s_gelu"],
+                                            fast_poly=cfg.fast_poly)
         return y_int
     if base == "ppoly":
         params = cfg.type_params("gelu")
@@ -395,7 +398,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
                 attn_bits=8, proj_bits=bw.attention_out,
                 out_bits=bw.norm2_in,
-                out_dtype=_container(bw.norm2_in), fast_exp=cfg.fast_exp)
+                out_dtype=_container(bw.norm2_in), fast_exp=cfg.fast_exp,
+                fast_poly=cfg.fast_poly)
             xf = x.reshape(B * n_pad, C)
             xf = pblk.mlp_block_p(
                 xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
@@ -407,7 +411,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
                 ln_base=ln_base, gelu_base=gelu_base,
                 mlp_bits=bw.mlp_out, out_bits=bw.att_block_out,
-                out_dtype=_container(bw.att_block_out), fast_exp=cfg.fast_exp)
+                out_dtype=_container(bw.att_block_out), fast_exp=cfg.fast_exp,
+                fast_poly=cfg.fast_poly)
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)

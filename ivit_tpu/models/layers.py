@@ -274,10 +274,15 @@ class _ExpRangeAct(nn.Module):
     State layout matches the reference's internal ``QuantAct`` buffers
     (``int_softmax.act.{x_min,x_max,act_scaling_factor}``) so checkpoints
     round-trip, but the requant is the single-rounding
-    ``round(exp_int / s_act)`` instead of the generic dyadic path: the
-    exp integers reach ~2**40-2**55 where the reference's float64
-    ``fixedpoint_mul`` is exact but a float32 re-statement is not; the
-    single-round form matches the float64 reference to ~2**-25.
+    ``round(exp_int * m)`` with ``m`` the correctly-rounded f32 reciprocal
+    of ``s_act`` — one VPU multiply per element.  The reference's float64
+    ``fixedpoint_mul`` (31-bit dyadic mantissa) and a correctly-rounded
+    divide both differ from this by at most 1 ulp of the scaled value
+    (~2**-9 relative at the 16-bit range), i.e. tie-level only — the same
+    order as the reference's own 31-bit-mantissa rounding.  The multiply
+    form is what the fused kernels run per element (a correctly-rounded
+    divide costs ~40 VPU ops there), and sim == engine == kernels must be
+    bit-identical, so all three use it.
     """
 
     @nn.compact
@@ -304,7 +309,8 @@ class _ExpRangeAct(nn.Module):
         s_act = q.symmetric_quant_params(16, x_min_v.value, x_max_v.value)
         if running_stat:
             scale_v.value = s_act
-        exp16 = jnp.clip(q.round_ste(q.rdiv(exp_int, s_act)),
+        m_exp = q.rdiv(1.0, s_act)      # scalar; per-element cost is one mul
+        exp16 = jnp.clip(q.round_ste(exp_int * m_exp),
                          -(2.0**15), 2.0**15 - 1)
         return exp16, s_act
 

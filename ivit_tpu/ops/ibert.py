@@ -44,17 +44,28 @@ EXP_B = 0.96963238 / EXP_A
 EXP_C = 1.0 / EXP_A
 
 
-def int_polynomial(x_int, scaling_factor):
-    """2nd-order polynomial a(x+b)x + c in integer domain (ibert:275-283)."""
+def int_polynomial(x_int, scaling_factor, fast_poly: bool = False):
+    """2nd-order polynomial a(x+b)x + c in integer domain (ibert:275-283).
+
+    ``fast_poly`` (engine-only, freeze-gated by
+    ``freeze._poly_fast_gate``): every operand, product and sum is inside
+    the f32-exact 2**24 envelope, so the plain mul-add computes the same
+    exact integer as ``exact_fma`` in every compilation context (FMA
+    contraction of an exact product is value-neutral) at ~1/8 the VPU ops.
+    """
     b_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_B, scaling_factor)))
     c_int = jax.lax.stop_gradient(jnp.floor(rdiv(EXP_C, scaling_factor**2)))
-    # exact_fma: the plain mul-add is FMA-contraction-dependent once the
-    # product passes 2**24 (small calibrated scales) — see ops/quant.py
-    z = exact_fma(x_int, x_int + b_int, c_int)
+    if fast_poly:
+        z = x_int * (x_int + b_int) + c_int
+    else:
+        # exact_fma: the plain mul-add is FMA-contraction-dependent once the
+        # product passes 2**24 (small calibrated scales) — see ops/quant.py
+        z = exact_fma(x_int, x_int + b_int, c_int)
     return z, EXP_A * scaling_factor**2
 
 
-def int_exp(x_int, scaling_factor, n: int = EXP_N, fast_q: bool = False):
+def int_exp(x_int, scaling_factor, n: int = EXP_N, fast_q: bool = False,
+            fast_poly: bool = False):
     """I-BERT integer exp via range reduction by -ln2 (ibert:285-295).
 
     ``fast_q``: engine-only divide-free exact quotient (freeze-gated by
@@ -68,26 +79,29 @@ def int_exp(x_int, scaling_factor, n: int = EXP_N, fast_q: bool = False):
     else:
         q = floor_ste(rdiv(x_int, x0_int))
     r = x_int - x0_int * q
-    exp_int, exp_scale = int_polynomial(r, scaling_factor)
+    exp_int, exp_scale = int_polynomial(r, scaling_factor, fast_poly)
     exp_int = jnp.clip(floor_ste(exp_int * pow2(n - q)), 0, None)
     return exp_int, exp_scale / 2**n
 
 
-def int_erf(x_int, scaling_factor):
-    """sign(x) * (a*(clamp(|x|,-b)+b)**2 + c) integer erf (ibert:203-218)."""
+def int_erf(x_int, scaling_factor, fast_poly: bool = False):
+    """sign(x) * (a*(clamp(|x|,-b)+b)**2 + c) integer erf (ibert:203-218).
+
+    ``fast_poly``: see :func:`int_polynomial` — freeze-gated exact plain
+    form (t**2 and t**2 + c both inside the f32-exact envelope)."""
     b_int = jax.lax.stop_gradient(jnp.floor(rdiv(GELU_B, scaling_factor)))
     c_int = jax.lax.stop_gradient(jnp.floor(rdiv(GELU_C, scaling_factor**2)))
 
     sign = jax.lax.stop_gradient(jnp.sign(x_int))
     abs_int = jnp.minimum(jnp.abs(x_int), -b_int)
     t = abs_int + b_int
-    y_int = sign * exact_fma(t, t, c_int)
+    y_int = sign * (t * t + c_int) if fast_poly else sign * exact_fma(t, t, c_int)
     scaling_factor = scaling_factor**2 * GELU_A
     y_int = floor_ste(y_int / 2**GELU_N)
     return y_int, scaling_factor * 2**GELU_N
 
 
-def ibert_gelu_int(x_int, scaling_factor):
+def ibert_gelu_int(x_int, scaling_factor, fast_poly: bool = False):
     """I-BERT GELU core on integer tensors (ibert:220-235).
 
     Returns ``(y_int, out_scale)``; ``y_int = x_int * (erf_int + shift)``.
@@ -95,7 +109,8 @@ def ibert_gelu_int(x_int, scaling_factor):
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     # rdiv: the scale chain must be correctly rounded so the freeze-time f32
     # restatement (engine/freeze.py) reproduces it bit-for-bit on TPU
-    sigmoid_int, sigmoid_scale = int_erf(x_int, rdiv(scaling_factor, GELU_K))
+    sigmoid_int, sigmoid_scale = int_erf(x_int, rdiv(scaling_factor, GELU_K),
+                                         fast_poly)
     shift_int = jax.lax.stop_gradient(jnp.floor(rdiv(1.0, sigmoid_scale)))
     y_int = x_int * (sigmoid_int + shift_int)
     out_scale = scaling_factor * sigmoid_scale / 2
@@ -109,7 +124,7 @@ def ibert_gelu(x, scaling_factor):
 
 
 def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None,
-                          fast_q: bool = False):
+                          fast_q: bool = False, fast_poly: bool = False):
     """First half of I-BERT softmax on integer tensors (ibert:304-309).
 
     ``n_valid``: padded columns (token-aligned engine layout) are excluded
@@ -122,7 +137,8 @@ def ibert_softmax_exp_int(x_int, scaling_factor, n_valid=None,
         x_int = jnp.where(mask, x_int, -(2.0**23))
     x_int_max = jnp.max(x_int, axis=-1, keepdims=True)
     x_int = x_int - x_int_max
-    exp_int, exp_scale = int_exp(x_int, scaling_factor, fast_q=fast_q)
+    exp_int, exp_scale = int_exp(x_int, scaling_factor, fast_q=fast_q,
+                                 fast_poly=fast_poly)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
     return exp_int, exp_scale

@@ -131,8 +131,11 @@ _IB_GELU_B = -1.769
 _IB_GELU_C = 1.0 / _IB_GELU_A
 
 
-def _ibert_int_exp(x_int, s, fast_q=False):
-    """I-BERT integer exp core in-kernel (ops/ibert.py int_exp)."""
+def _ibert_int_exp(x_int, s, fast_q=False, fast_poly=False):
+    """I-BERT integer exp core in-kernel (ops/ibert.py int_exp).
+
+    ``fast_poly``: freeze-gated plain mul-add polynomial (identical bits
+    inside the f32-exact envelope — freeze._poly_fast_gate)."""
     x0 = jnp.floor(_rdiv(_IB_EXP_X0, s))
     x_int = jnp.maximum(x_int, _IB_EXP_N * x0)
     # floor(correctly-rounded quotient), matching ops/ibert.int_exp exactly;
@@ -144,7 +147,10 @@ def _ibert_int_exp(x_int, s, fast_q=False):
     r = x_int - x0 * q
     b_int = jnp.floor(_rdiv(_IB_EXP_B, s))
     c_int = jnp.floor(_rdiv(_IB_EXP_C, (s * s)))
-    z = _exact_fma(r, r + b_int, c_int)
+    if fast_poly:
+        z = r * (r + b_int) + c_int
+    else:
+        z = _exact_fma(r, r + b_int, c_int)
     return jnp.clip(jnp.floor(z * _pow2(_IB_EXP_N - q)), 0, None)
 
 
@@ -209,14 +215,15 @@ def _ctx_dot(probs_f32, v_int8, sm_bit, mxu="int8"):
     return (dot_hi << 8) + dot_lo + 128 * colsum
 
 
-def _ibert_gelu(x, s):
+def _ibert_gelu(x, s, fast_poly=False):
     """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
     se = _rdiv(s, _IB_GELU_K)
     b_int = jnp.floor(_rdiv(_IB_GELU_B, se))
     c_int = jnp.floor(_rdiv(_IB_GELU_C, (se * se)))
     sign = jnp.sign(x)
     a = jnp.minimum(jnp.abs(x), -b_int)
-    y = sign * _exact_fma(a + b_int, a + b_int, c_int)
+    t = a + b_int
+    y = sign * (t * t + c_int) if fast_poly else sign * _exact_fma(t, t, c_int)
     y = jnp.floor(y * (2.0 ** -_IB_GELU_N))
     sig_scale = se * se * _IB_GELU_A * (2.0 ** _IB_GELU_N)
     shift = jnp.floor(_rdiv(1.0, sig_scale))
@@ -281,8 +288,8 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
-                ln_base, gelu_base, mlp_bits, out_bits, fast_exp, mxu,
-                ablate=""):
+                ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
+                mxu, ablate=""):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -319,7 +326,8 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
         if gelu_base == "ivit":
             g = _shift_gelu(h, s_sig, fast_q=fast_exp)
         else:
-            g = _ibert_gelu(h, s_sig)  # s_sig carries raw s_gelu for ibert
+            # s_sig carries raw s_gelu for ibert
+            g = _ibert_gelu(h, s_sig, fast_poly)
         g = _requant(g, m_gelu, 8)
 
     if bf16:
@@ -345,6 +353,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 s_gelu, m_gelu, fc2_w, fc2_b, m_fc2, m_res_x, m_res_id,
                 ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
                 out_dtype=jnp.int8, fast_exp: bool = False,
+                fast_poly: bool = False,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
                 mxu: str | None = None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
@@ -377,7 +386,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         out = pl.pallas_call(
             functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
                               mlp_bits=mlp_bits, out_bits=out_bits,
-                              fast_exp=fast_exp, mxu=mxu, ablate=ablate),
+                              fast_exp=fast_exp, fast_poly=fast_poly,
+                              mxu=mxu, ablate=ablate),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -427,20 +437,33 @@ def _shiftmax(x, s, output_bit, n_valid, fast_q=False):
     return jnp.floor(exp_int * factor * (2.0 ** -(31 - output_bit + 1)))
 
 
-def _ibert_softmax(x, s, s_exp_act, output_bit, n_valid, fast_q=False):
-    """In-kernel I-BERT softmax with the internal 16-bit exp requant."""
+def _ibert_softmax(x, s, m_exp_act, output_bit, n_valid, fast_q=False,
+                   fast_poly=False):
+    """In-kernel I-BERT softmax with the internal 16-bit exp requant.
+
+    ``m_exp_act`` is the correctly-rounded f32 reciprocal of the exp
+    QuantAct scale (computed once by the caller); the per-element requant
+    is a single multiply, matching the sim (models/layers._ExpRangeAct)
+    and unfused engine bit-for-bit.
+    """
     mask = None
     if n_valid != x.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
         mask = col < n_valid
         x = jnp.where(mask, x, -(2.0**23))
     x_max = jnp.max(x, axis=-1, keepdims=True)
-    exp_int = _ibert_int_exp(x - x_max, s, fast_q)
+    exp_int = _ibert_int_exp(x - x_max, s, fast_q, fast_poly)
     if mask is not None:
         exp_int = jnp.where(mask, exp_int, 0.0)
-    exp16 = jnp.clip(jnp.round(_rdiv(exp_int, s_exp_act)),
+    exp16 = jnp.clip(jnp.round(exp_int * m_exp_act),
                      -(2.0**15), 2.0**15 - 1)
-    exp_sum = _int_sum(exp16)
+    # exp16 in [0, 2**15): a plain f32 sum is exact (== the engine's
+    # two-limb exact_int_sum) while n * 2**15 < 2**24, i.e. n <= 512 —
+    # all current configs (ViT n<=200, Swin n=49)
+    if x.shape[-1] * 2.0**15 < 2.0**24:
+        exp_sum = jnp.sum(exp16, axis=-1, keepdims=True)
+    else:
+        exp_sum = _int_sum(exp16)
     factor = jnp.floor(_rdiv(2.0**32, exp_sum))
     return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
 
@@ -449,7 +472,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
-                 mxu):
+                 fast_poly, mxu):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -460,7 +483,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     m_res_x = sc_ref[3]
     m_res_id = sc_ref[4]
     pw_shift = sc_ref[5]
-    s_exp_act = sc_ref[6]
+    m_exp_act = sc_ref[6]
 
     # ``ablate``: perf-diagnostic stage dropping for kernel_microbench only
     if "ln" in ablate:
@@ -498,16 +521,20 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     # softmax VPU chain (the exp tower dominates the elementwise cost) runs
     # ONCE over [t*H*Np, Np] instead of t*H times over [Np, Np] — shiftmax
     # is row-local, so the batched evaluation is bit-identical.
-    for ti in range(t):
-        rows = slice(ti * np_, (ti + 1) * np_)
-        for h in range(num_heads):
-            q_h = qkv[rows, h * dh:(h + 1) * dh]
-            k_h = qkv[rows, c + h * dh:c + (h + 1) * dh]
-            srows = slice((ti * num_heads + h) * np_,
-                          (ti * num_heads + h + 1) * np_)
-            scores_ref[srows, :] = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=ptype).astype(jnp.float32)
+    if "qk" in ablate:
+        # ablation: skip the per-head score dots AND their slice extractions
+        scores_ref[...] = jnp.full(scores_ref.shape, 7.0, jnp.float32)
+    else:
+        for ti in range(t):
+            rows = slice(ti * np_, (ti + 1) * np_)
+            for h in range(num_heads):
+                q_h = qkv[rows, h * dh:(h + 1) * dh]
+                k_h = qkv[rows, c + h * dh:c + (h + 1) * dh]
+                srows = slice((ti * num_heads + h) * np_,
+                              (ti * num_heads + h + 1) * np_)
+                scores_ref[srows, :] = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=ptype).astype(jnp.float32)
 
     lim_a = 2.0 ** (attn_bits - 1)
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
@@ -516,8 +543,8 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     elif sm_base == "ivit":
         probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid, fast_exp)
     else:
-        probs_all = _ibert_softmax(scores, s_attn, s_exp_act, sm_bit, n_valid,
-                                   fast_exp)
+        probs_all = _ibert_softmax(scores, s_attn, m_exp_act, sm_bit, n_valid,
+                                   fast_exp, fast_poly)
     scores_ref[...] = probs_all
 
     # ctx scratch is f32 (8x128 tiles): int8 scratch (32x128 tiles) hit a
@@ -525,16 +552,20 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     # cols Dh-strided) — 36 dropped/corrupt elements on Swin-T stage1,
     # bisected by scripts/debug_swin_kernel_stage.py; f32 tiles store
     # exactly.  The requant output is already f32-held int8 values.
-    for ti in range(t):
-        rows = slice(ti * np_, (ti + 1) * np_)
-        for h in range(num_heads):
-            v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
-            srows = slice((ti * num_heads + h) * np_,
-                          (ti * num_heads + h + 1) * np_)
-            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
-                             mxu)                                # [Np, Dh]
-            ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
-                ctx_h.astype(jnp.float32), m_av, 8)
+    if "av" in ablate:
+        # ablation: skip the per-head ctx dots and slice/store strides
+        ctx_ref[...] = qkv[:, :c].astype(jnp.float32)
+    else:
+        for ti in range(t):
+            rows = slice(ti * np_, (ti + 1) * np_)
+            for h in range(num_heads):
+                v_h = qkv[rows, 2 * c + h * dh:2 * c + (h + 1) * dh]
+                srows = slice((ti * num_heads + h) * np_,
+                              (ti * num_heads + h + 1) * np_)
+                ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
+                                 mxu)                                # [Np, Dh]
+                ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
+                    ctx_h.astype(jnp.float32), m_av, 8)
 
     if bf16:
         acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
@@ -559,6 +590,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  ln_base="ivit", sm_base="ivit", s_exp_act=None,
                  sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
                  out_dtype=jnp.int8, fast_exp: bool = False,
+                 fast_poly: bool = False,
                  img_tile: int = 2, interpret: bool = False, ablate="",
                  mxu: str | None = None):
     """Fused attention half-block on the padded token stream.
@@ -582,7 +614,9 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         jnp.reshape(m_res_x, ()).astype(jnp.float32),
         jnp.reshape(m_res_id, ()).astype(jnp.float32),
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
-        (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
+        # correctly-rounded reciprocal of the exp QuantAct scale: the
+        # per-element 16-bit exp requant is then one in-kernel multiply
+        (_rdiv(1.0, jnp.reshape(s_exp_act, ()).astype(jnp.float32))
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
     interp = _interp(interpret)
@@ -592,7 +626,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               num_heads=num_heads, ablate=ablate,
                               n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
                               out_bits=out_bits, attn_bits=attn_bits,
-                              fast_exp=fast_exp, mxu=mxu),
+                              fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -629,7 +663,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
                       mproj_ref, sc_ref, o_ref, ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
-                      fast_exp, mxu):
+                      fast_exp, fast_poly, mxu):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -641,7 +675,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     m_res_x = sc_ref[4]
     m_res_id = sc_ref[5]
     pw_shift = sc_ref[6]
-    s_exp_act = sc_ref[7]
+    m_exp_act = sc_ref[7]
 
     if ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
@@ -684,8 +718,8 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     if sm_base == "ivit":
         probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n, fast_exp)
     else:
-        probs = _ibert_softmax(scores_ref[...], s_attn, s_exp_act, sm_bit, n,
-                               fast_exp)
+        probs = _ibert_softmax(scores_ref[...], s_attn, m_exp_act, sm_bit, n,
+                               fast_exp, fast_poly)
     scores_ref[...] = probs
 
     # f32 ctx scratch: see _attn_kernel — Mosaic int8 sub-tile stores
@@ -726,7 +760,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       m_av, proj_w, proj_b, m_proj, m_res_x, m_res_id,
                       num_heads, n_windows,
                       ln_base="ivit", sm_base="ivit", s_exp_act=None,
-                      sm_bit=8, fast_exp: bool = False, win_tile: int = 8,
+                      sm_bit=8, fast_exp: bool = False,
+                      fast_poly: bool = False, win_tile: int = 8,
                       interpret: bool = False, mxu: str | None = None):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
@@ -770,7 +805,9 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
         jnp.reshape(m_res_x, ()).astype(jnp.float32),
         jnp.reshape(m_res_id, ()).astype(jnp.float32),
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
-        (jnp.reshape(s_exp_act, ()).astype(jnp.float32)
+        # correctly-rounded reciprocal of the exp QuantAct scale: the
+        # per-element 16-bit exp requant is then one in-kernel multiply
+        (_rdiv(1.0, jnp.reshape(s_exp_act, ()).astype(jnp.float32))
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
     interp = _interp(interpret)
@@ -779,7 +816,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
             functools.partial(_swin_attn_kernel, ln_base=ln_base,
                               sm_base=sm_base, num_heads=num_heads,
                               sm_bit=sm_bit, mask_per_win=mask_per_win,
-                              fast_exp=fast_exp, mxu=mxu),
+                              fast_exp=fast_exp, fast_poly=fast_poly,
+                              mxu=mxu),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,

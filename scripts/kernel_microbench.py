@@ -94,7 +94,7 @@ def main():
                 s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
                 attn_bits=8, proj_bits=bw.attention_out, out_bits=8,
                 out_dtype=jnp.int8, fast_exp=cfg.fast_exp,
-                img_tile=tile, ablate=ablate)
+                fast_poly=cfg.fast_poly, img_tile=tile, ablate=ablate)
         return step
 
     def mlp_fn(tile, ablate):
@@ -109,13 +109,14 @@ def main():
                 m_res_x=blk["m_res2_x"], m_res_id=blk["m_res2_id"],
                 ln_base=ln_base, gelu_base=gelu_base,
                 mlp_bits=bw.mlp_out, out_bits=8, out_dtype=jnp.int8,
-                fast_exp=cfg.fast_exp, tile_rows=tile, ablate=abl)
+                fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly,
+                tile_rows=tile, ablate=abl)
         return step
 
     ablations = args.ablations.split(",")
     print(f"# {args.model} batch={B} n_pad={n_pad} C={C} H={H} "
-          f"fast_exp={cfg.fast_exp} backend={jax.default_backend()}",
-          flush=True)
+          f"fast_exp={cfg.fast_exp} fast_poly={cfg.fast_poly} "
+          f"backend={jax.default_backend()}", flush=True)
     results = []
     for kind, tiles, fn, x0 in (
             ("attn", args.attn_tiles, attn_fn, x_attn),
