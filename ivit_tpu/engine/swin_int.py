@@ -312,13 +312,13 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     reasons = []
     if not on:
         reasons.append("pallas disabled (non-TPU backend or forced off)")
-    if ge not in ("ivit", "ibert"):
+    if ge not in ("ivit", "ibert", "ppoly"):
         reasons.append(f"gelu family {ge!r} has no fused kernel")
     if ln not in ("ivit", "ibert"):
         reasons.append(f"ln family {ln!r} has no fused kernel")
     fuse_mlp = on and not reasons
     attn_reasons = []
-    if sm not in ("ivit", "ibert"):
+    if sm not in ("ivit", "ibert", "ppoly"):
         attn_reasons.append(f"softmax family {sm!r} has no fused kernel")
     if cfg.bitwidths.softmax > 8 and not _int16_kernels_on():
         attn_reasons.append(f"softmax_bw={cfg.bitwidths.softmax} (int16-prob "
@@ -387,19 +387,23 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
                     -(2.0**15), 2.0**15 - 1).astype(jnp.int16)
 
 
-def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
+def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
+                        fuse_parts=("attn", "mlp")):
     """images f32 NHWC -> float logits; all integer inner loop.
 
     ``pallas``: fuse the window-attention half into swin_attn_block_p and
-    the row-local FFN half into mlp_block_p (ivit/ibert families).
+    the row-local FFN half into mlp_block_p (ivit/ibert/ppoly families).
+    ``fuse_parts``: A/B switch for scripts/swin_path_compare.py — restrict
+    fusion to a subset of {"attn", "mlp"} (both paths are bit-identical,
+    so this is perf-diagnostic only).
     """
     cfg = spec.config
     p = spec.params
-    fuse_mlp = (_use_pallas(pallas)
-                and cfg.base_type("gelu") in ("ivit", "ibert")
+    fuse_mlp = (_use_pallas(pallas) and "mlp" in fuse_parts
+                and cfg.base_type("gelu") in ("ivit", "ibert", "ppoly")
                 and cfg.base_type("ln") in ("ivit", "ibert"))
-    fuse_attn = (_use_pallas(pallas)
-                 and cfg.base_type("softmax") in ("ivit", "ibert")
+    fuse_attn = (_use_pallas(pallas) and "attn" in fuse_parts
+                 and cfg.base_type("softmax") in ("ivit", "ibert", "ppoly")
                  and cfg.base_type("ln") in ("ivit", "ibert")
                  and (cfg.bitwidths.softmax <= 8 or _int16_kernels_on()))
     B = images.shape[0]
@@ -468,7 +472,10 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                 num_heads=heads, n_windows=nw,
                 ln_base=cfg.base_type("ln"), sm_base=cfg.base_type("softmax"),
                 s_exp_act=blk.get("s_exp_act"), sm_bit=cfg.bitwidths.softmax,
-                fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly)
+                fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly,
+                sm_bounds=blk.get("sm_bounds"), sm_coeffs=blk.get("sm_coeffs"),
+                exp_bits=(int(cfg.type_params("softmax").get("exp_bits", 16))
+                          if cfg.base_type("softmax") == "ppoly" else 16))
             yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
             if shift > 0:
                 yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
@@ -491,7 +498,13 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None):
                 m_res_id=blk["m_res2_id"], ln_base=cfg.base_type("ln"),
                 gelu_base=cfg.base_type("gelu"), mlp_bits=8, out_bits=16,
                 out_dtype=jnp.int16, fast_exp=cfg.fast_exp,
-                fast_poly=cfg.fast_poly)
+                fast_poly=cfg.fast_poly,
+                gelu_bounds=blk.get("gelu_bounds"),
+                gelu_coeffs=blk.get("gelu_coeffs"),
+                gelu_s_out=blk.get("gelu_s_out"),
+                gelu_scale_bits=(int(cfg.type_params("gelu")
+                                     .get("scale_bits", 22))
+                                 if cfg.base_type("gelu") == "ppoly" else 22))
             x = xf.reshape(B, res * res, dim)
         else:
             y = _layernorm_int(cfg, x, blk["ln2_bias_int"],

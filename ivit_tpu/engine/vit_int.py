@@ -129,9 +129,9 @@ def fusion_report(cfg, pallas=None) -> dict:
     reasons = []
     if not on:
         reasons.append("pallas disabled (non-TPU backend or forced off)")
-    if sm not in ("ivit", "ibert"):
+    if sm not in ("ivit", "ibert", "ppoly"):
         reasons.append(f"softmax family {sm!r} has no fused block kernel")
-    if ge not in ("ivit", "ibert"):
+    if ge not in ("ivit", "ibert", "ppoly"):
         reasons.append(f"gelu family {ge!r} has no fused block kernel")
     if ln not in ("ivit", "ibert"):
         reasons.append(f"ln family {ln!r} has no fused block kernel")
@@ -348,8 +348,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
     # fused block kernels cover the ivit softmax/gelu families with
     # ivit/ibert LayerNorm; other families run the unfused per-op path
     use_blocks = (_use_pallas(pallas) and pallas != "ops"
-                  and cfg.base_type("softmax") in ("ivit", "ibert")
-                  and cfg.base_type("gelu") in ("ivit", "ibert")
+                  and cfg.base_type("softmax") in ("ivit", "ibert", "ppoly")
+                  and cfg.base_type("gelu") in ("ivit", "ibert", "ppoly")
                   and cfg.base_type("ln") in ("ivit", "ibert")
                   and (bw.softmax <= 8 or _int16_kernels_on()))
     n_pad = ((N + 7) // 8) * 8 if use_blocks else N
@@ -382,6 +382,10 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         ln_base = cfg.base_type("ln")
         sm_base = cfg.base_type("softmax")
         gelu_base = cfg.base_type("gelu")
+        sm_exp_bits = (int(cfg.type_params("softmax").get("exp_bits", 16))
+                       if sm_base == "ppoly" else 16)
+        gelu_sb = (int(cfg.type_params("gelu").get("scale_bits", 22))
+                   if gelu_base == "ppoly" else 22)
         if n_pad != N:
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         for blk in p["blocks"]:
@@ -399,7 +403,9 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 attn_bits=8, proj_bits=bw.attention_out,
                 out_bits=bw.norm2_in,
                 out_dtype=_container(bw.norm2_in), fast_exp=cfg.fast_exp,
-                fast_poly=cfg.fast_poly)
+                fast_poly=cfg.fast_poly,
+                sm_bounds=blk.get("sm_bounds"),
+                sm_coeffs=blk.get("sm_coeffs"), exp_bits=sm_exp_bits)
             xf = x.reshape(B * n_pad, C)
             xf = pblk.mlp_block_p(
                 xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
@@ -412,7 +418,10 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 ln_base=ln_base, gelu_base=gelu_base,
                 mlp_bits=bw.mlp_out, out_bits=bw.att_block_out,
                 out_dtype=_container(bw.att_block_out), fast_exp=cfg.fast_exp,
-                fast_poly=cfg.fast_poly)
+                fast_poly=cfg.fast_poly,
+                gelu_bounds=blk.get("gelu_bounds"),
+                gelu_coeffs=blk.get("gelu_coeffs"),
+                gelu_s_out=blk.get("gelu_s_out"), gelu_scale_bits=gelu_sb)
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)

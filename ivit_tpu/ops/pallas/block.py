@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _interp, _kernel_trace
 
+from ..quant import mul_add_2r as _mul_add_2r
 from .nonlinear import (_exact_fma, _floor_div_int, _int_exp_shift, _int_sum,
                         _pow2, _rdiv, _sq_sum)
 
@@ -70,7 +71,10 @@ def _mxu_mode() -> str:
 # actually compiling on the TPU (wired into scripts/tpu_session.sh);
 # tests/test_vmem_budget.py checks this arithmetic for every geometry on CPU.
 _MLP_BYTES_PER_ELT = {("ivit", "int8"): 40, ("ivit", "bf16"): 48,
-                      ("ibert", "int8"): 20, ("ibert", "bf16"): 28}
+                      ("ibert", "int8"): 20, ("ibert", "bf16"): 28,
+                      # ppoly keeps deg+1 coefficient planes + one boundary
+                      # mask + the rdiv epilogue temporaries live
+                      ("ppoly", "int8"): 40, ("ppoly", "bf16"): 48}
 _VMEM_BUDGET = 16 * 2**20
 
 
@@ -215,6 +219,70 @@ def _ctx_dot(probs_f32, v_int8, sm_bit, mxu="int8"):
     return (dot_hi << 8) + dot_lo + 128 * colsum
 
 
+def _pack_ppoly(bounds, coeffs):
+    """Flatten ppoly (bounds, coeffs) into one SMEM f32 array + static dims.
+
+    Returns ``(packed [S-1 + S*(deg+1)], seg, deg)``; a 1-element dummy when
+    the family is not ppoly (SMEM inputs are structural)."""
+    if bounds is None or coeffs is None:
+        return jnp.zeros((1,), jnp.float32), 0, 0
+    seg, k = coeffs.shape
+    packed = jnp.concatenate([
+        jnp.asarray(bounds, jnp.float32).reshape(-1),
+        jnp.asarray(coeffs, jnp.float32).reshape(-1)])
+    return packed, seg, k - 1
+
+
+def _ppoly_eval(x, pp_ref, seg, deg):
+    """In-kernel ``ops.ppoly.eval_piecewise_poly`` (VERDICT r2 item 8).
+
+    ``pp_ref``: SMEM f32 array ``[bounds (seg-1) | coeffs (seg*(deg+1))]``
+    (coeffs highest power first, reference ppoly_backend.py:293-351).
+    Segment selection is the same compare-count convention (segment ``s``
+    covers ``bounds[s-1] <= x < bounds[s]``), realized as a select chain:
+    start from segment 0's coefficients and overwrite whenever ``x`` clears
+    the next boundary — pure selects, so every element ends up with exactly
+    ``coeffs[seg_idx]`` (no arithmetic reconstruction that could round).
+    Horner steps are the two-rounding ``mul_add_2r`` — bit-identical to the
+    unfused engine in every compilation context (ops/quant.py doctrine).
+
+    One boundary mask is live at a time (``deg+1`` running coefficient
+    planes), keeping scoped VMEM comparable to the ibert branch.
+    """
+    nb = seg - 1
+    cf = [jnp.zeros_like(x) + pp_ref[nb + k] for k in range(deg + 1)]
+    for s in range(1, seg):
+        ge = x >= pp_ref[s - 1]
+        base = nb + s * (deg + 1)
+        for k in range(deg + 1):
+            cf[k] = jnp.where(ge, pp_ref[base + k], cf[k])
+    r = cf[0]
+    for k in range(1, deg + 1):
+        r = _mul_add_2r(r, x, cf[k])
+    return r
+
+
+def _ppoly_softmax(x, pp_ref, seg, deg, exp_bits, output_bit, n_valid):
+    """In-kernel ppoly softmax, bit-identical to engine ``_softmax_int``
+    (engine/vit_int.py ppoly branch): max-shift + 127 offset, piecewise-poly
+    exp on the 2**30 grid, floor onto the ``exp_bits`` grid, plain f32 row
+    sum (exact: exp <= 2**(exp_bits-1), n <= 512), 2**32 factor divide."""
+    mask = None
+    if n_valid != x.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        mask = col < n_valid
+        x = jnp.where(mask, x, -(2.0**23))
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    x_off = x - x_max + 127.0
+    exp_int = jnp.clip(_ppoly_eval(x_off, pp_ref, seg, deg), 0.0, None)
+    exp_int = jnp.floor(exp_int * (2.0 ** -(30 - exp_bits + 1)))
+    if mask is not None:
+        exp_int = jnp.where(mask, exp_int, 0.0)
+    exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, None)
+    factor = jnp.floor(_rdiv(2.0**32, exp_sum))
+    return jnp.floor(exp_int * factor * (2.0 ** -(32 - output_bit + 1)))
+
+
 def _ibert_gelu(x, s, fast_poly=False):
     """I-BERT GELU core in-kernel: y_int = x*(erf_int + shift)."""
     se = _rdiv(s, _IB_GELU_K)
@@ -287,9 +355,9 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
-                w2_ref, b2_ref, m2_ref, sc_ref, o_ref, *,
+                w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, o_ref, *,
                 ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
-                mxu, ablate=""):
+                mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate=""):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -297,6 +365,7 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     m_res_x = sc_ref[2]
     m_res_id = sc_ref[3]
     pw_shift = sc_ref[4]
+    s_pp_out = sc_ref[5]    # ppoly gelu output grid (freeze gelu_s_out)
 
     # ``ablate`` is a perf-diagnostic switch for scripts/kernel_microbench.py
     # ONLY (never set by the engine): it drops a stage to attribute kernel
@@ -325,6 +394,11 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     else:
         if gelu_base == "ivit":
             g = _shift_gelu(h, s_sig, fast_q=fast_exp)
+        elif gelu_base == "ppoly":
+            # engine _gelu_int ppoly branch bit-for-bit: Horner ints on the
+            # 2**scale_bits grid, exact /2**sb, floor onto the backend grid
+            y_int = _ppoly_eval(h, pp_ref, pp_seg, pp_deg)
+            g = jnp.floor(_rdiv(y_int * (2.0 ** -pp_scale_bits), s_pp_out))
         else:
             # s_sig carries raw s_gelu for ibert
             g = _ibert_gelu(h, s_sig, fast_poly)
@@ -354,12 +428,18 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 ln_base="ivit", gelu_base="ivit", mlp_bits=8, out_bits=8,
                 out_dtype=jnp.int8, fast_exp: bool = False,
                 fast_poly: bool = False,
+                gelu_bounds=None, gelu_coeffs=None, gelu_s_out=None,
+                gelu_scale_bits: int = 22,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
                 mxu: str | None = None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
     Wait-free residual: the kernel re-reads its own input tile for the
     integer residual add, so the caller passes the *block input* once.
+
+    ``gelu_base='ppoly'`` runs the in-kernel piecewise-poly Horner
+    (``gelu_bounds``/``gelu_coeffs``/``gelu_s_out`` from the freeze step,
+    reference ppoly_backend.py:293-351).
     """
     mxu = _mxu_mode() if mxu is None else mxu
     r, c = x_int.shape
@@ -379,7 +459,10 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         jnp.reshape(m_res_x, ()).astype(jnp.float32),
         jnp.reshape(m_res_id, ()).astype(jnp.float32),
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
+        (jnp.reshape(gelu_s_out, ()).astype(jnp.float32)
+         if gelu_s_out is not None else jnp.float32(1.0)),
     ])
+    pp, pp_seg, pp_deg = _pack_ppoly(gelu_bounds, gelu_coeffs)
 
     interp = _interp(interpret)
     with _kernel_trace(interp):
@@ -387,7 +470,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
             functools.partial(_mlp_kernel, ln_base=ln_base, gelu_base=gelu_base,
                               mlp_bits=mlp_bits, out_bits=out_bits,
                               fast_exp=fast_exp, fast_poly=fast_poly,
-                              mxu=mxu, ablate=ablate),
+                              mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
+                              pp_scale_bits=gelu_scale_bits, ablate=ablate),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -403,6 +487,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -413,7 +498,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
           m_ln.astype(jnp.float32).reshape(1, c),
           fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
           fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
-          scalars)
+          scalars, pp)
     return out
 
 
@@ -469,10 +554,11 @@ def _ibert_softmax(x, s, m_exp_act, output_bit, n_valid, fast_q=False,
 
 
 def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
-                 mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, o_ref,
+                 mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, pp_ref,
+                 o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
-                 fast_poly, mxu):
+                 fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -542,6 +628,9 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         probs_all = jnp.clip(scores, 0.0, 127.0)
     elif sm_base == "ivit":
         probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid, fast_exp)
+    elif sm_base == "ppoly":
+        probs_all = _ppoly_softmax(scores, pp_ref, pp_seg, pp_deg,
+                                   pp_exp_bits, sm_bit, n_valid)
     else:
         probs_all = _ibert_softmax(scores, s_attn, m_exp_act, sm_bit, n_valid,
                                    fast_exp, fast_poly)
@@ -591,14 +680,15 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  sm_bit=8, attn_bits=8, proj_bits=8, out_bits=8,
                  out_dtype=jnp.int8, fast_exp: bool = False,
                  fast_poly: bool = False,
+                 sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
                  img_tile: int = 2, interpret: bool = False, ablate="",
                  mxu: str | None = None):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
     ``n_valid`` real tokens).  Per grid program: LN -> qkv GEMM -> per-head
-    int8 attention with in-VMEM Shiftmax -> proj GEMM -> integer residual.
-    ivit softmax family only (others use the unfused path).
+    int8 attention with in-VMEM softmax (ivit/ibert/ppoly families) -> proj
+    GEMM -> integer residual.
     """
     mxu = _mxu_mode() if mxu is None else mxu
     b, np_, c = x_int.shape
@@ -619,6 +709,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
         (_rdiv(1.0, jnp.reshape(s_exp_act, ()).astype(jnp.float32))
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
+    pp, pp_seg, pp_deg = _pack_ppoly(sm_bounds, sm_coeffs)
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -626,7 +717,9 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               num_heads=num_heads, ablate=ablate,
                               n_valid=n_valid, sm_bit=sm_bit, proj_bits=proj_bits,
                               out_bits=out_bits, attn_bits=attn_bits,
-                              fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu),
+                              fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu,
+                              pp_seg=pp_seg, pp_deg=pp_deg,
+                              pp_exp_bits=exp_bits),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -643,6 +736,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -655,15 +749,16 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
           m_ln.astype(jnp.float32).reshape(1, c),
           qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
           proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
-          scalars)
+          scalars, pp)
     return out
 
 
 def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
-                      mproj_ref, sc_ref, o_ref, ctx_ref, scores_ref, *,
+                      mproj_ref, sc_ref, pp_ref, o_ref, ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
-                      fast_exp, fast_poly, mxu):
+                      fast_exp, fast_poly, mxu, pp_seg=0, pp_deg=0,
+                      pp_exp_bits=16):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -717,6 +812,9 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
 
     if sm_base == "ivit":
         probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n, fast_exp)
+    elif sm_base == "ppoly":
+        probs = _ppoly_softmax(scores_ref[...], pp_ref, pp_seg, pp_deg,
+                               pp_exp_bits, sm_bit, n)
     else:
         probs = _ibert_softmax(scores_ref[...], s_attn, m_exp_act, sm_bit, n,
                                fast_exp, fast_poly)
@@ -761,7 +859,9 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       num_heads, n_windows,
                       ln_base="ivit", sm_base="ivit", s_exp_act=None,
                       sm_bit=8, fast_exp: bool = False,
-                      fast_poly: bool = False, win_tile: int = 8,
+                      fast_poly: bool = False,
+                      sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
+                      win_tile: int = 8,
                       interpret: bool = False, mxu: str | None = None):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
@@ -810,6 +910,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
         (_rdiv(1.0, jnp.reshape(s_exp_act, ()).astype(jnp.float32))
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
+    pp, pp_seg, pp_deg = _pack_ppoly(sm_bounds, sm_coeffs)
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -817,7 +918,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                               sm_base=sm_base, num_heads=num_heads,
                               sm_bit=sm_bit, mask_per_win=mask_per_win,
                               fast_exp=fast_exp, fast_poly=fast_poly,
-                              mxu=mxu),
+                              mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
+                              pp_exp_bits=exp_bits),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,
@@ -840,6 +942,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -856,5 +959,5 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
           mask,
           proj_w, proj_b.reshape(1, c),
           m_proj.astype(jnp.float32).reshape(1, c),
-          scalars)
+          scalars, pp)
     return out

@@ -126,7 +126,8 @@ def bench_config(cfg, batch, iters, sol=False):
     # the axon compile helper) + chunked calibration/sim graphs — see
     # ivit_tpu/models/chunked.py (bit-identical to model.apply)
     from ivit_tpu.models.chunked import scan_apply, swin_chunked_apply
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    from ivit_tpu.utils.hostdev import host_init
+    with host_init():
         variables = jax.jit(lambda a: model.init(
             jax.random.PRNGKey(0), a, running_stat=True))(x_cal)
     variables = jax.device_put(variables)

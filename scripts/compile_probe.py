@@ -39,7 +39,8 @@ def main():
             gelu_type="ivit", softmax_type="ivit", layernorm_type="ivit")
         x = jnp.asarray(rng.normal(
             size=(args.batch, 224, 224, 3)).astype(np.float32))
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        from ivit_tpu.utils.hostdev import host_init
+        with host_init():
             variables = jax.jit(lambda a: model.init(
                 jax.random.PRNGKey(0), a, running_stat=True))(x)
             _, st = jax.jit(lambda v, a: model.apply(

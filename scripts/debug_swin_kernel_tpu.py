@@ -34,8 +34,8 @@ def main():
         gelu_type="ivit", softmax_type="ivit", layernorm_type="ivit",
         drop_path_rate=0.0)
     x0 = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    from ivit_tpu.utils.hostdev import host_init
+    with host_init():
         variables = jax.jit(lambda a: model.init(
             jax.random.PRNGKey(0), a, running_stat=True))(x0)
         qs = variables["quant_stats"]

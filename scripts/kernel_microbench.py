@@ -31,8 +31,8 @@ def build_spec(mname, fam=("ivit", "ivit", "ivit")):
     model = str2model(mname)(gelu_type=fam[0], softmax_type=fam[1],
                              layernorm_type=fam[2])
     x = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    from ivit_tpu.utils.hostdev import host_init
+    with host_init():
         variables = jax.jit(lambda a: model.init(
             jax.random.PRNGKey(0), a, running_stat=True))(x)
         _, st = jax.jit(lambda v, a: model.apply(

@@ -33,14 +33,15 @@ def main():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--no-pallas", action="store_true")
-    p.add_argument("--mode", choices=["weak", "strong"], default=None,
-                   help="weak: fixed per-device batch (real chips — measures "
-                        "ICI scaling).  strong: fixed TOTAL batch (virtual "
-                        "CPU mesh — all devices share the same cores, so "
-                        "weak scaling is physically impossible there; strong "
-                        "scaling isolates the partitioning/dispatch overhead "
-                        "the mesh adds, which IS meaningful on CPU).  "
-                        "Default: weak on TPU, strong on CPU.")
+    p.add_argument("--mode", choices=["weak", "strong"], default="weak",
+                   help="weak (default): fixed per-device batch, efficiency "
+                        "= ips / (ips_1 * N) <= 1.0 — the BASELINE >=0.85 "
+                        "target's form.  On the shared-core virtual CPU "
+                        "mesh total throughput cannot grow N-fold, so the "
+                        "artifact reports throughput_gain_vs_1dev alongside "
+                        "to keep the curve meaningful there.  strong: "
+                        "fixed TOTAL batch (legacy; isolates partitioning "
+                        "overhead only).")
     p.add_argument("--serving", action="store_true",
                    help="also measure through ServingEngine (continuous "
                         "batching, futures) at each width")
@@ -60,8 +61,8 @@ def main():
     ndev = len(jax.devices())
     widths = args.widths or [w for w in (1, 2, 4, 8, 16, 32) if w <= ndev]
     pallas = False if args.no_pallas else None
-    mode = args.mode or ("weak" if jax.default_backend() == "tpu"
-                         else "strong")
+    mode = args.mode
+    shared_cores = jax.default_backend() != "tpu"
 
     is_swin = args.model.startswith("swin")
     kw = dict(gelu_type=args.family, softmax_type=args.family,
@@ -107,12 +108,19 @@ def main():
         ips = bsz / t
         if base_ips is None:
             base_ips = ips
-        # weak: perfect = w-fold throughput growth.  strong (shared-core CPU
-        # mesh): perfect = unchanged throughput (same silicon, overhead only).
+        # weak: perfect = w-fold throughput growth (efficiency <= 1.0, the
+        # BASELINE >=0.85 form).  strong (legacy): perfect = unchanged
+        # throughput on the same total batch.
         eff = ips / (base_ips * w) if mode == "weak" else ips / base_ips
         rec = {"devices": w, "batch": bsz,
                "images_per_sec": round(ips, 1),
                "scaling_efficiency": round(eff, 3)}
+        if mode == "weak" and shared_cores:
+            # virtual mesh on one machine: N 'devices' share the same
+            # silicon, so total throughput cannot grow N-fold — report the
+            # raw gain over 1 device so the curve stays interpretable
+            # (ICI efficiency proper requires real chips)
+            rec["throughput_gain_vs_1dev"] = round(ips / base_ips, 3)
         if args.serving:
             from ivit_tpu.engine.serving import ServingEngine
             with ServingEngine(spec, batch_size=bsz, max_wait_ms=2,
@@ -136,11 +144,15 @@ def main():
     artifact = {"mode": mode,
                 "backend": jax.default_backend(),
                 "model": args.model, "family": args.family,
-                "note": ("strong scaling on a shared-core virtual mesh: "
-                         "perfect = 1.0 (partitioning adds no overhead); "
-                         "weak-scaling ICI efficiency requires real chips"
-                         if mode == "strong" else
-                         "weak scaling: perfect = 1.0 (linear in devices)"),
+                "note": ("weak scaling, fixed per-device batch: perfect = "
+                         "1.0 (linear in devices)."
+                         + (" Virtual shared-core mesh: total throughput "
+                            "cannot grow N-fold (same silicon) — judge the "
+                            "curve by throughput_gain_vs_1dev; real ICI "
+                            "efficiency needs real chips." if shared_cores else "")
+                         if mode == "weak" else
+                         "strong scaling (legacy): fixed total batch, "
+                         "perfect = 1.0 = no partitioning overhead"),
                 "results": results}
     print(json.dumps(artifact, indent=2))
     if args.out:

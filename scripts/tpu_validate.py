@@ -56,7 +56,8 @@ def build(name, families, rng):
     # compile helper intermittently).  Calibration/sim/engine stay on the
     # target backend, so the cross-backend qstats check still covers the
     # calibration math.
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    from ivit_tpu.utils.hostdev import host_init
+    with host_init():
         variables = jax.jit(lambda a: model.init(
             jax.random.PRNGKey(0), a, running_stat=True))(x)
     variables = jax.device_put(variables)

@@ -103,6 +103,14 @@ def test_engine_ppoly_parity(rng, backend):
                                     pallas=False))(spec.params, x))
     np.testing.assert_array_equal(sim_j, sim)
     np.testing.assert_array_equal(eng, sim)
+    # fused block kernels run the in-kernel ppoly Horner (VERDICT r2 item 8)
+    import ivit_tpu.ops.pallas as ppkg
+    ppkg.FORCE_INTERPRET = True
+    try:
+        fused = np.asarray(engine_forward(spec, x, pallas=True))
+    finally:
+        ppkg.FORCE_INTERPRET = False
+    np.testing.assert_array_equal(fused, sim)
 
 
 def test_freeze_unfreeze_lifecycle(rng):

@@ -102,3 +102,11 @@ def test_swin_engine_ppoly_matches_sim(rng):
         lambda p, a: swin_engine_forward(
             type(spec)(spec.config, p), a, pallas=False))(spec.params, x))
     np.testing.assert_array_equal(eng, sim)
+    # fused window-attention + FFN kernels with in-kernel ppoly Horner
+    import ivit_tpu.ops.pallas as ppkg
+    ppkg.FORCE_INTERPRET = True
+    try:
+        eng_p = np.asarray(swin_engine_forward(spec, x, pallas=True))
+    finally:
+        ppkg.FORCE_INTERPRET = False
+    np.testing.assert_array_equal(eng_p, sim)
