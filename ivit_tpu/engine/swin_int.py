@@ -326,12 +326,13 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
                             "IVIT_INT16_KERNELS=1 enables)")
     fuse_attn = (on and ln in ("ivit", "ibert") and not attn_reasons)
     dims = [cfg.embed_dim * 2**i for i in range(len(cfg.depths))]
-    stages = {f"stage{i}(dim={d})": bool(fuse_mlp and d % 128 == 0)
-              for i, d in enumerate(dims)}
-    skipped = [s for s, fused in stages.items() if not fused]
-    if fuse_mlp and skipped:
-        reasons.append("non-lane-aligned stages run unfused FFN: "
-                       + ", ".join(s for s in skipped))
+    # non-lane-aligned stages fuse via zero channel-padding onto the
+    # 128-lane grid — the measured default alongside fused attention
+    # (runs/swin_path_compare_r3d.log; "mlp_nopad" fuse_parts disables)
+    stages = {f"stage{i}(dim={d})"
+              + ("" if d % 128 == 0
+                 else f" [C padded to {-(-d // 128) * 128}]"):
+              bool(fuse_mlp) for i, d in enumerate(dims)}
     return {"fused_mlp_stages": stages,
             "fused_window_attention": fuse_attn,
             "unfused_reasons": reasons + attn_reasons}
@@ -399,7 +400,14 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
     """
     cfg = spec.config
     p = spec.params
-    fuse_mlp = (_use_pallas(pallas) and "mlp" in fuse_parts
+    # Padded FFN fusion on non-lane-aligned stages is the measured default
+    # when attention is also fused (42.41 vs 46.98 ms/batch,
+    # runs/swin_path_compare_r3d.log): standalone unfused FFN chains lose
+    # the XLA fusion partners they had in the all-unfused graph.
+    # "mlp_nopad" restricts fusion to lane-aligned stages for A/Bs.
+    pad_ffn = "mlp_nopad" not in fuse_parts or "mlp_pad" in fuse_parts
+    fuse_mlp = (_use_pallas(pallas)
+                and ("mlp" in fuse_parts or "mlp_pad" in fuse_parts)
                 and cfg.base_type("gelu") in ("ivit", "ibert", "ppoly")
                 and cfg.base_type("ln") in ("ivit", "ibert"))
     fuse_attn = (_use_pallas(pallas) and "attn" in fuse_parts
@@ -475,7 +483,11 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly,
                 sm_bounds=blk.get("sm_bounds"), sm_coeffs=blk.get("sm_coeffs"),
                 exp_bits=(int(cfg.type_params("softmax").get("exp_bits", 16))
-                          if cfg.base_type("softmax") == "ppoly" else 16))
+                          if cfg.base_type("softmax") == "ppoly" else 16),
+                # stage0/1: 16-window tiles amortize the per-program LN
+                # Newton serial chain (runs/swin_mb_r3.log); stage2+
+                # regresses at 16 (and stage3 is VMEM-capped anyway)
+                win_tile=16 if dim < 256 else 8)
             yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
             if shift > 0:
                 yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
@@ -484,17 +496,32 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
             x = _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws,
                                    n, shift)
 
-        if fuse_mlp and dim % 128 == 0:
-            # lane-aligned stages only (96/192-dim stages pad 25-33% on VPU)
+        if fuse_mlp and (dim % 128 == 0 or pad_ffn):
+            # non-lane-aligned stages (dims 96/192) zero-pad C onto the
+            # 128-lane grid: the kernel's LN masks pad lanes
+            # (ops/pallas/block._mask_pad_lanes), zero-padded weights/
+            # multipliers map pads to zeros, and the output is sliced back —
+            # bit-identical to the unfused path (tests/test_swin_engine.py).
+            dpad = -dim % 128
+
+            def _pc(a):
+                return jnp.pad(a, (0, dpad)) if dpad else a
+
             xf = x.reshape(B * res * res, dim)
+            if dpad:
+                xf = jnp.pad(xf, ((0, 0), (0, dpad)))
             xf = pblk.mlp_block_p(
-                xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
-                m_ln=blk["m_ln2"],
-                ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
+                xf, ln_bias=_pc(blk["ln2_bias_int"]), s_ln=_pc(blk["s_ln2"]),
+                m_ln=_pc(blk["m_ln2"]),
+                ln_shift=blk["ln2_shift"],
+                fc1_w=(jnp.pad(blk["fc1_w"], ((0, dpad), (0, 0)))
+                       if dpad else blk["fc1_w"]),
                 fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],
                 s_gelu=blk["s_gelu"], m_gelu=blk["m_gelu"],
-                fc2_w=blk["fc2_w"], fc2_b=blk["fc2_b"],
-                m_fc2=blk["m_fc2"], m_res_x=blk["m_res2_x"],
+                fc2_w=(jnp.pad(blk["fc2_w"], ((0, 0), (0, dpad)))
+                       if dpad else blk["fc2_w"]),
+                fc2_b=_pc(blk["fc2_b"]),
+                m_fc2=_pc(blk["m_fc2"]), m_res_x=blk["m_res2_x"],
                 m_res_id=blk["m_res2_id"], ln_base=cfg.base_type("ln"),
                 gelu_base=cfg.base_type("gelu"), mlp_bits=8, out_bits=16,
                 out_dtype=jnp.int16, fast_exp=cfg.fast_exp,
@@ -504,7 +531,14 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 gelu_s_out=blk.get("gelu_s_out"),
                 gelu_scale_bits=(int(cfg.type_params("gelu")
                                      .get("scale_bits", 22))
-                                 if cfg.base_type("gelu") == "ppoly" else 22))
+                                 if cfg.base_type("gelu") == "ppoly" else 22),
+                c_valid=dim if dpad else None,
+                # the LN Newton chain is a fixed serial cost per grid
+                # program — prefer the largest tile the scoped-VMEM cap
+                # admits (_mlp_tile caps by hd; 1024 binds only at hd<=512)
+                tile_rows=1024)
+            if dpad:
+                xf = xf[:, :dim]
             x = xf.reshape(B, res * res, dim)
         else:
             y = _layernorm_int(cfg, x, blk["ln2_bias_int"],

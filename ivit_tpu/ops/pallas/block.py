@@ -305,24 +305,48 @@ def _newton_sqrt(var, iters=10, k0=2.0**16):
     return k
 
 
-def _i_layernorm(x, bias_int):
-    """ivit I-LayerNorm core on f32-held ints (ivit_modules.py:30-65)."""
+def _mask_pad_lanes(y, c_valid):
+    """Zero the zero-padded feature lanes after mean subtraction.
+
+    With ``x`` zero-padded on the lane axis (channel padding to the 128-lane
+    tile), the mean/variance reductions stay exact only if the pad lanes —
+    which hold ``-mean`` after centering — are masked back to 0 before the
+    square-sum.  Valid lanes are untouched, so the LN output is bit-identical
+    to the unpadded kernel on the real channels; pad lanes come out as the
+    (zero-padded) LN bias and are sliced off by the caller."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+    return jnp.where(lane < c_valid, y, 0.0)
+
+
+def _i_layernorm(x, bias_int, c_valid=None):
+    """ivit I-LayerNorm core on f32-held ints (ivit_modules.py:30-65).
+
+    ``c_valid``: real channel count when ``x`` is lane-padded (see
+    :func:`_mask_pad_lanes`); ``None`` = all lanes real."""
     # _rdiv mean, not jnp.mean: XLA/Mosaic strength-reduce divide-by-C into
     # a 1-ulp-sloppy reciprocal multiply, flipping round() ties vs the sim
-    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(x.shape[-1])))
+    c = x.shape[-1] if c_valid is None else c_valid
+    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(c)))
     y = x - mean
+    if c_valid is not None and c_valid != x.shape[-1]:
+        y = _mask_pad_lanes(y, c_valid)
     var = _sq_sum(y)
     std = _newton_sqrt(var)
     factor = jnp.floor(_rdiv(INT32_MAX, std))
     return jnp.floor(y * factor * 0.5) + bias_int
 
 
-def _ibert_layernorm(x, bias_int, pw_shift):
+def _ibert_layernorm(x, bias_int, pw_shift, c_valid=None):
     """ibert LayerNorm core, frozen shift (ibert_modules.py:112-158).
 
-    ``pw_shift`` is the precomputed exact power 2**shift (freeze-time)."""
-    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(x.shape[-1])))
+    ``pw_shift`` is the precomputed exact power 2**shift (freeze-time).
+    ``c_valid``: real channel count under lane padding (see
+    :func:`_mask_pad_lanes`)."""
+    c = x.shape[-1] if c_valid is None else c_valid
+    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(c)))
     y = x - mean
+    if c_valid is not None and c_valid != x.shape[-1]:
+        y = _mask_pad_lanes(y, c_valid)
     y_sh = jnp.floor(y * (1.0 / pw_shift))
     var = _sq_sum(y_sh)
     std = jnp.floor(jnp.sqrt(var)) * pw_shift
@@ -357,7 +381,8 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, o_ref, *,
                 ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
-                mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate=""):
+                mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate="",
+                c_valid=None):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -373,10 +398,10 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     if "ln" in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
-        y = _i_layernorm(x_in, lnb_ref[...])
+        y = _i_layernorm(x_in, lnb_ref[...], c_valid)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
     else:
-        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
+        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift, c_valid)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
     if bf16:
@@ -431,7 +456,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 gelu_bounds=None, gelu_coeffs=None, gelu_s_out=None,
                 gelu_scale_bits: int = 22,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
-                mxu: str | None = None):
+                mxu: str | None = None, c_valid: int | None = None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
     Wait-free residual: the kernel re-reads its own input tile for the
@@ -440,6 +465,13 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     ``gelu_base='ppoly'`` runs the in-kernel piecewise-poly Horner
     (``gelu_bounds``/``gelu_coeffs``/``gelu_s_out`` from the freeze step,
     reference ppoly_backend.py:293-351).
+
+    ``c_valid``: real channel count when the caller zero-pads C onto the
+    128-lane grid (Swin stage0/1, dims 96/192) — weights/bias/multipliers
+    must be zero-padded to match; the LN reductions mask pad lanes
+    (:func:`_mask_pad_lanes`), every later stage maps zeros to zeros, and
+    the caller slices the output back to ``c_valid``.  Bit-identical to
+    the unpadded path on the real channels (tests/test_swin_engine.py).
     """
     mxu = _mxu_mode() if mxu is None else mxu
     r, c = x_int.shape
@@ -471,7 +503,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                               mlp_bits=mlp_bits, out_bits=out_bits,
                               fast_exp=fast_exp, fast_poly=fast_poly,
                               mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
-                              pp_scale_bits=gelu_scale_bits, ablate=ablate),
+                              pp_scale_bits=gelu_scale_bits, ablate=ablate,
+                              c_valid=c_valid),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -645,6 +678,8 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         # ablation: skip the per-head ctx dots and slice/store strides
         ctx_ref[...] = qkv[:, :c].astype(jnp.float32)
     else:
+        # raw ctx ints into the scratch; ONE batched requant afterwards
+        # (elementwise, so bit-identical — avoids t*H tiny VPU op rounds)
         for ti in range(t):
             rows = slice(ti * np_, (ti + 1) * np_)
             for h in range(num_heads):
@@ -653,8 +688,8 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                               (ti * num_heads + h + 1) * np_)
                 ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
                                  mxu)                                # [Np, Dh]
-                ctx_ref[rows, h * dh:(h + 1) * dh] = _requant(
-                    ctx_h.astype(jnp.float32), m_av, 8)
+                ctx_ref[rows, h * dh:(h + 1) * dh] = ctx_h.astype(jnp.float32)
+        ctx_ref[...] = _requant(ctx_ref[...], m_av, 8)
 
     if bf16:
         acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
@@ -753,12 +788,35 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     return out
 
 
+def _swin_win_tile(win_tile: int, bw: int, n: int, c: int, num_heads: int,
+                   n_windows: int, has_mask: bool) -> int:
+    """Window-tile selection for the fused Swin attention kernel.
+
+    Windows are independent, so the tile may span images (stage3 has nW=1);
+    only the shift mask couples a window to its within-image index, handled
+    by tiling the mask when wt > nW.  The tile is capped by the Mosaic
+    scoped-VMEM stack (16MB): live f32 temporaries scale with the qkv chain
+    ([wt*n, 3c], ~3 planes) and the softmax chain ([wt*H*n, n] lane-padded
+    to 128, ~4 planes).  The constants reproduce the measured 29.31M stack
+    at (wt=8, n=56, c=768, H=24) — Swin-T stage3 — within ~10%;
+    tests/test_vmem_budget.py walks every real stage geometry through this
+    arithmetic and scripts/check_vmem_geometries.py compiles them on TPU.
+    """
+    per_win = n * (3 * c) * 4 * 3 + num_heads * n * 128 * 4 * 4
+    wt_cap = max(1, _VMEM_BUDGET * 7 // 8 // per_win)
+    for cand in range(min(win_tile, wt_cap, bw), 0, -1):
+        if bw % cand == 0 and (not has_mask or n_windows % cand == 0
+                               or cand % n_windows == 0):
+            return cand
+    return 1
+
+
 def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
                       mproj_ref, sc_ref, pp_ref, o_ref, ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
-                      fast_exp, fast_poly, mxu, pp_seg=0, pp_deg=0,
-                      pp_exp_bits=16):
+                      fast_exp, fast_poly, mxu, n_valid, ablate="",
+                      pp_seg=0, pp_deg=0, pp_exp_bits=16):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -772,13 +830,24 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     pw_shift = sc_ref[6]
     m_exp_act = sc_ref[7]
 
-    if ln_base == "ivit":
+    if "ln" in ablate:
+        y = jnp.clip(x_in, -128.0, 127.0)
+    elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...])
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
+    if "ln" not in ablate:
+        y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
     if bf16:
+        if n_valid != n:
+            # zero-padded window rows -> LN var 0 -> factor inf -> NaN; the
+            # int8 path launders NaN through the int8 cast (pad scores
+            # columns are softmax-masked so pad k/v rows always meet exact
+            # zeros), but bf16 would poison the ctx dot (see _attn_kernel)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (wt * n, 1), 0)
+            tok = idx - (idx // n) * n
+            y = jnp.where(tok < n_valid, y, 0.0)
         acc = _dot_exact(y, wqkv_ref[...]) + bqkv_ref[...]
         qkv = _requant(acc, mqkv_ref[...], 8).astype(jnp.bfloat16)
     else:
@@ -790,48 +859,63 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                        mqkv_ref[...], 8).astype(jnp.int8)
     ptype = jnp.float32 if bf16 else jnp.int32
 
-    # scores per (window, head) into one scratch; rel-pos bias is added
-    # BEFORE the int8 clip and the shift mask AFTER it, exactly as the
-    # per-op engine does (engine/swin_int.py) — then one batched softmax.
-    for w in range(wt):
-        rows = slice(w * n, (w + 1) * n)
-        for h in range(num_heads):
-            q_h = qkv[rows, h * hd:(h + 1) * hd]
-            k_h = qkv[rows, c + h * hd:c + (h + 1) * hd]
-            s32 = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=ptype)                # [n, n]
-            s = jnp.clip(jnp.round(s32.astype(jnp.float32) * m_attn),
-                         -128.0, 127.0)
-            a = jnp.clip(jnp.round(s * m_attn2) + rel_ref[h], -128.0, 127.0)
-            if mask_per_win:
-                a = a + mask_ref[w]
-            srows = slice((w * num_heads + h) * n,
-                          (w * num_heads + h + 1) * n)
-            scores_ref[srows, :] = a
+    # raw per-(window, head) score dots into one scratch (each dot is
+    # f32-exact: |s32| <= hd * 127^2 < 2**24), then ONE batched epilogue:
+    # requant, rel-pos bias BEFORE the int8 clip, shift mask AFTER it —
+    # exactly the per-op engine order (engine/swin_int.py), elementwise, so
+    # batching is bit-identical.  ``rel_ref``/``mask_ref`` arrive pre-tiled
+    # to the scratch row layout [wt*H*n, n] (wrapper constants), which
+    # removes every per-dot VPU round from the loop.
+    if "qk" in ablate:
+        scores_ref[...] = jnp.full(scores_ref.shape, 7.0, jnp.float32)
+    else:
+        for w in range(wt):
+            rows = slice(w * n, (w + 1) * n)
+            for h in range(num_heads):
+                q_h = qkv[rows, h * hd:(h + 1) * hd]
+                k_h = qkv[rows, c + h * hd:c + (h + 1) * hd]
+                s32 = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=ptype)                # [n, n]
+                srows = slice((w * num_heads + h) * n,
+                              (w * num_heads + h + 1) * n)
+                scores_ref[srows, :] = s32.astype(jnp.float32)
+        s = jnp.clip(jnp.round(scores_ref[...] * m_attn), -128.0, 127.0)
+        a = jnp.clip(jnp.round(s * m_attn2) + rel_ref[...], -128.0, 127.0)
+        if mask_per_win:
+            a = a + mask_ref[...]
+        scores_ref[...] = a
 
-    if sm_base == "ivit":
-        probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n, fast_exp)
+    if "softmax" in ablate:
+        probs = jnp.clip(scores_ref[...], 0.0, 127.0)
+    elif sm_base == "ivit":
+        probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n_valid, fast_exp)
     elif sm_base == "ppoly":
         probs = _ppoly_softmax(scores_ref[...], pp_ref, pp_seg, pp_deg,
-                               pp_exp_bits, sm_bit, n)
+                               pp_exp_bits, sm_bit, n_valid)
     else:
-        probs = _ibert_softmax(scores_ref[...], s_attn, m_exp_act, sm_bit, n,
-                               fast_exp, fast_poly)
+        probs = _ibert_softmax(scores_ref[...], s_attn, m_exp_act, sm_bit,
+                               n_valid, fast_exp, fast_poly)
     scores_ref[...] = probs
 
     # f32 ctx scratch: see _attn_kernel — Mosaic int8 sub-tile stores
     # miscompile at Swin-T stage1 geometry (debug_swin_kernel_stage.py)
-    for w in range(wt):
-        rows = slice(w * n, (w + 1) * n)
-        for h in range(num_heads):
-            v_h = qkv[rows, 2 * c + h * hd:2 * c + (h + 1) * hd]
-            srows = slice((w * num_heads + h) * n,
-                          (w * num_heads + h + 1) * n)
-            ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
-                             mxu)                                # [n, hd]
-            ctx_ref[rows, h * hd:(h + 1) * hd] = _requant(
-                ctx_h.astype(jnp.float32), m_av, 8)
+    if "av" in ablate:
+        ctx_ref[...] = qkv[:, :c].astype(jnp.float32)
+    else:
+        # raw ctx ints land in the scratch; ONE batched requant afterwards
+        # (requant is elementwise, so batching is bit-identical and avoids
+        # wt*H tiny [n, hd] VPU op rounds)
+        for w in range(wt):
+            rows = slice(w * n, (w + 1) * n)
+            for h in range(num_heads):
+                v_h = qkv[rows, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                srows = slice((w * num_heads + h) * n,
+                              (w * num_heads + h + 1) * n)
+                ctx_h = _ctx_dot(scores_ref[srows, :], v_h, sm_bit,
+                                 mxu)                                # [n, hd]
+                ctx_ref[rows, h * hd:(h + 1) * hd] = ctx_h.astype(jnp.float32)
+        ctx_ref[...] = _requant(ctx_ref[...], m_av, 8)
 
     if bf16:
         acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
@@ -862,40 +946,76 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       fast_poly: bool = False,
                       sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
                       win_tile: int = 8,
-                      interpret: bool = False, mxu: str | None = None):
+                      interpret: bool = False, mxu: str | None = None,
+                      ablate: str = ""):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
     ``xw``: int16 [B*nW, n, C] — the PRE-norm stage activations, already
     cyclically shifted and window-partitioned (both are token permutations,
     and every op in this half is token- or window-local, so fusing after the
-    permutation is exact).  Per grid program (a tile of whole windows from
-    one image): LN -> qkv GEMM -> per-(window, head) int8 scores with
-    rel-pos-bias and shift-mask addends -> ONE batched integer softmax ->
-    ctx GEMMs -> proj GEMM -> integer residual.  Output is int16 in the same
-    permuted layout; the caller window-reverses and un-rolls.
+    permutation is exact).  Per grid program (a tile of whole windows): LN
+    -> qkv GEMM -> per-(window, head) int8 scores with rel-pos-bias and
+    shift-mask addends -> ONE batched integer softmax -> ctx GEMMs -> proj
+    GEMM -> integer residual.  Output is int16 in the same permuted layout;
+    the caller window-reverses and un-rolls.
+
+    Window rows are zero-padded here onto the 8-sublane grid (Swin's n=49
+    -> 56) so every scratch row band starts 8-aligned — Mosaic otherwise
+    emits masked sub-tile stores for the 49-strided score/ctx bands, the
+    dominant overhead of the round-2 kernel.  Pad score columns are
+    softmax-masked (``n_valid``), pad k/v rows therefore meet exact zero
+    probabilities, and pad outputs are sliced off — bit-identical to the
+    unpadded math (tests/test_swin_engine.py).
 
     ``mask_addend``: f32 [nW, n, n] for shifted blocks (per-window shift
     mask, reference swin_quant.py:223-247) or None.  ``rel_addend``:
     f32 [H, n, n] requantized relative-position-bias integers.
+
+    ``ablate``: perf-diagnostic stage dropping for kernel_microbench only.
     """
     mxu = _mxu_mode() if mxu is None else mxu
     if mxu == "bf16":
         qkv_w, proj_w = qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16)
         qkv_b, proj_b = qkv_b.astype(jnp.float32), proj_b.astype(jnp.float32)
-    bw_, n, c = xw.shape
-    wt = max(1, min(win_tile, n_windows))
-    while n_windows % wt:
-        wt -= 1
+    bw_, n_valid, c = xw.shape
+    n = -(-n_valid // 8) * 8
+    if n != n_valid:
+        xw = jnp.pad(xw, ((0, 0), (0, n - n_valid), (0, 0)))
+        rel_addend = jnp.pad(jnp.asarray(rel_addend, jnp.float32),
+                             ((0, 0), (0, n - n_valid), (0, n - n_valid)))
+        if mask_addend is not None:
+            mask_addend = jnp.pad(jnp.asarray(mask_addend, jnp.float32),
+                                  ((0, 0), (0, n - n_valid),
+                                   (0, n - n_valid)))
+    nw = n_windows
+    wt = _swin_win_tile(win_tile, bw_, n, c, num_heads, nw,
+                        mask_addend is not None)
     grid = (pl.cdiv(bw_, wt),)
     mask_per_win = mask_addend is not None
+    # rel/mask addends pre-tiled to the scratch row layout [wt*H*n, n]
+    # (row band (w*H + h)*n holds window w, head h) so the kernel applies
+    # them in ONE batched epilogue instead of per-(window, head) rounds
+    h_ = num_heads
+    rel = jnp.tile(jnp.asarray(rel_addend, jnp.float32).reshape(h_ * n, n),
+                   (wt, 1))
+    rel_spec = pl.BlockSpec((wt * h_ * n, n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     if mask_addend is None:
-        mask = jnp.zeros((1, n, n), jnp.float32)
-        mask_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+        mask = jnp.zeros((8, n), jnp.float32)
+        mask_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif wt >= nw:
+        # tile covers whole images: window j of the tile uses mask[j % nW]
+        m = jnp.tile(mask_addend.astype(jnp.float32), (wt // nw, 1, 1))
+        mask = jnp.repeat(m, h_, axis=0).reshape(wt * h_ * n, n)
+        mask_spec = pl.BlockSpec((wt * h_ * n, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        mask = mask_addend.astype(jnp.float32)
+        mask = jnp.repeat(mask_addend.astype(jnp.float32),
+                          h_, axis=0).reshape(nw * h_ * n, n)
         nblk = n_windows // wt
-        mask_spec = pl.BlockSpec((wt, n, n), lambda i: (i % nblk, 0, 0),
+        mask_spec = pl.BlockSpec((wt * h_ * n, n),
+                                 lambda i: (i % nblk, 0),
                                  memory_space=pltpu.VMEM)
     scalars = jnp.stack([
         jnp.reshape(m_attn, ()).astype(jnp.float32),
@@ -918,7 +1038,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                               sm_base=sm_base, num_heads=num_heads,
                               sm_bit=sm_bit, mask_per_win=mask_per_win,
                               fast_exp=fast_exp, fast_poly=fast_poly,
-                              mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
+                              mxu=mxu, n_valid=n_valid, ablate=ablate,
+                              pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
@@ -935,8 +1056,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                rel_spec,
                 mask_spec,
                 pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -955,9 +1075,9 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
           m_ln.astype(jnp.float32).reshape(1, c),
           qkv_w, qkv_b.reshape(1, 3 * c),
           m_qkv.astype(jnp.float32).reshape(1, 3 * c),
-          rel_addend.astype(jnp.float32),
+          rel,
           mask,
           proj_w, proj_b.reshape(1, c),
           m_proj.astype(jnp.float32).reshape(1, c),
           scalars, pp)
-    return out
+    return out[:, :n_valid] if n != n_valid else out

@@ -52,9 +52,14 @@ def main():
     x = jnp.asarray(rng.normal(size=(args.batch, 224, 224, 3))
                     .astype(np.float32))
     variants = {
+        # "fused"/"mlp" pad non-lane-aligned stages by default (the measured
+        # winner next to fused attention); *_nopad restrict FFN fusion to
+        # lane-aligned stages for A/Bs
         "fused": (None, ("attn", "mlp")),
+        "fused_nopad": (None, ("attn", "mlp", "mlp_nopad")),
         "attn": (None, ("attn",)),
         "mlp": (None, ("mlp",)),
+        "mlp_nopad": (None, ("mlp", "mlp_nopad")),
         "unfused": (False, ()),
     }
     outs = {}

@@ -60,6 +60,39 @@ def test_proven_green_config_unchanged():
     assert pblk._mlp_tile(512, ROWS, 1536, "int8", "ibert") == 512
 
 
+# (name, n padded, C, heads, n_windows per image, has shift mask) for every
+# Swin stage the BASELINE matrix covers (window 7 -> n 49 padded to 56)
+SWIN_ATTN_GEOMETRIES = [
+    ("swin_t_stage0", 56, 96, 3, 64, True),
+    ("swin_t_stage1", 56, 192, 6, 16, True),
+    ("swin_t_stage2", 56, 384, 12, 4, True),
+    ("swin_t_stage3", 56, 768, 24, 1, False),
+    ("swin_b_stage3", 56, 1024, 32, 1, False),
+]
+
+
+@pytest.mark.parametrize("name,n,c,heads,nw,mask", SWIN_ATTN_GEOMETRIES)
+def test_swin_win_tile_fits_scoped_vmem(name, n, c, heads, nw, mask):
+    """The Swin window-tile cap: the round-3 wt=8 stage3 pick needed a
+    29.31M scoped stack (measured TPU compile failure) — the budget
+    arithmetic must keep every real stage geometry under 16M."""
+    bw = 64 * nw              # bench batch 64
+    wt = pblk._swin_win_tile(8, bw, n, c, heads, nw, mask)
+    per_win = n * (3 * c) * 4 * 3 + heads * n * 128 * 4 * 4
+    assert wt * per_win <= pblk._VMEM_BUDGET, (
+        f"{name}: wt {wt} estimated scoped-VMEM "
+        f"{wt * per_win / 2**20:.2f}M > 16M")
+    assert bw % wt == 0
+    if mask:
+        assert nw % wt == 0 or wt % nw == 0
+
+
+def test_swin_stage3_oom_config_is_capped():
+    """The exact geometry that OOMed the round-3 A/B (wt=8, n=56, c=768,
+    H=24 -> 29.31M measured): the cap must now pick wt <= 3."""
+    assert pblk._swin_win_tile(8, 64, 56, 768, 24, 1, False) <= 3
+
+
 def test_mxu_default_is_int8():
     """Driver bench safety: the committed default must be the proven mode
     unless a hardware-green artifact for the other exists (VERDICT r2 #1)."""
