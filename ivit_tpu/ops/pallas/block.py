@@ -539,6 +539,28 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
 # Fused attention half-block
 # ---------------------------------------------------------------------------
 
+def _attn_img_tile(img_tile: int, b: int, np_: int, c: int, num_heads: int,
+                   sm_base: str) -> int:
+    """Image-tile selection for the fused ViT attention kernel.
+
+    Caps the tile by the Mosaic 16MB scoped-VMEM stack.  Live f32
+    temporaries scale with the qkv chain ([t*Np, 3C], ~2 planes) and the
+    softmax chain ([t*H*Np, Np] lane-padded to the 128 multiple) whose live
+    plane count is family-dependent: the ivit shift-exp tower holds ~3.3
+    planes, the ibert fast path ~1.5.  Constants bracket the real-TPU
+    compile outcomes (runs/tpu_session.log vmem_geometries): PASS deit_small
+    ivit t=2 / deit_base ibert t=2 / deit_tiny ivit t=4, FAIL deit_base
+    ivit t=2 / vit_large both t=2 / deit_tiny t=8.
+    tests/test_vmem_budget.py pins these; scripts/check_vmem_geometries.py
+    compiles them on hardware.
+    """
+    lanes = -(-np_ // 128) * 128
+    s_planes = 1.5 if sm_base == "ibert" else 3.3
+    per_img = np_ * (3 * c) * 4 * 1.5 + num_heads * np_ * lanes * 4 * s_planes
+    cap = max(1, int(_VMEM_BUDGET * 7 / 8 / per_img))
+    return max(1, min(img_tile, cap, b))
+
+
 def _shiftmax(x, s, output_bit, n_valid, fast_q=False):
     """In-kernel Shiftmax over the last axis with pad-column masking."""
     mask = None
@@ -727,7 +749,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     """
     mxu = _mxu_mode() if mxu is None else mxu
     b, np_, c = x_int.shape
-    t = min(img_tile, b)
+    t = _attn_img_tile(img_tile, b, np_, c, num_heads, sm_base)
     grid = (pl.cdiv(b, t),)
     if mxu == "bf16":
         qkv_w, proj_w = qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16)

@@ -30,7 +30,7 @@ run_step() {  # name timeout_s cmd...
 }
 
 note "=== TPU session begin ==="
-run_step probe 180 python -c "
+run_step probe 420 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 print((jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready().sum())
@@ -40,8 +40,12 @@ print((jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready().sum())
 #    model geometry (the scoped-VMEM OOM class that killed round 2's bench)
 run_step vmem_geometries 3600 python scripts/check_vmem_geometries.py
 
-# 1. bitwise numerics validation vs the checked-in CPU golden
-run_step validate_dump 3600 python scripts/tpu_validate.py dump --backend tpu --out runs/val_tpu.pkl
+# 1. bitwise numerics validation vs the checked-in CPU golden.  The TPU
+#    dump loads the golden's quant_stats (--stats-from): calibration runs
+#    float forwards that are not cross-backend bit-identical by nature; the
+#    invariant under test is checkpoint-determines-the-network (same stats
+#    -> identical sim/engine/kernel bits on every backend).
+run_step validate_dump 3600 python scripts/tpu_validate.py dump --backend tpu --out runs/val_tpu.pkl --stats-from runs/val_cpu.pkl
 run_step validate_compare 300 python scripts/tpu_validate.py compare runs/val_cpu.pkl runs/val_tpu.pkl
 
 # 1b. per-kernel Mosaic hardware validation (both exp-quotient forms,

@@ -90,8 +90,23 @@ def dump(args):
         jax.config.update("jax_platforms", "cpu")
     # tpu: leave the default so the axon plugin resolves itself
     import numpy as np
+    import jax.numpy as jnp
 
-    out = {"backend": args.backend}
+    # --stats-from GOLDEN.pkl: load the golden's calibration tree instead of
+    # trusting this backend's own calibration.  Calibration runs FLOAT model
+    # forwards, which are not cross-backend bit-identical by nature (e.g.
+    # the ibert LN overflow shift is a threshold on a float variance, and
+    # TPU float matmul precision differs from CPU) — the framework's actual
+    # invariant is that a CHECKPOINT fully determines the integer network
+    # (SURVEY §5.4 ingestion contract): same quant_stats -> identical bits
+    # on every backend, which is exactly what this mode tests.
+    golden = None
+    if getattr(args, "stats_from", None):
+        with open(args.stats_from, "rb") as f:
+            golden = pickle.load(f)
+
+    out = {"backend": args.backend,
+           "stats_from": getattr(args, "stats_from", None)}
     for cname, mname, families in CONFIGS:
         # the axon remote-compile helper SIGSEGVs intermittently on ~5MB
         # full-model graphs (one sick helper instance in the round-robin?);
@@ -100,9 +115,17 @@ def dump(args):
             rng = np.random.default_rng(0)
             model, variables, x = build(mname, families, rng)
             rec = {}
-            # calibrated-range fingerprint: must match across backends
-            leaves = jax.tree_util.tree_leaves(
-                jax.device_get(variables["quant_stats"]))
+            if golden is not None and cname in golden \
+                    and "qstats_tree" in golden[cname]:
+                variables = dict(variables)
+                variables["quant_stats"] = jax.tree_util.tree_map(
+                    jnp.asarray, golden[cname]["qstats_tree"])
+            # fingerprint of the stats actually used (trivially equal to the
+            # golden under --stats-from; a cross-backend calibration-drift
+            # diagnostic otherwise)
+            tree = jax.device_get(variables["quant_stats"])
+            rec["qstats_tree"] = tree
+            leaves = jax.tree_util.tree_leaves(tree)
             rec["qstats"] = np.concatenate([np.ravel(v) for v in leaves])
 
             if mname.startswith("swin"):
@@ -185,6 +208,10 @@ def main():
     pd = sub.add_parser("dump")
     pd.add_argument("--backend", required=True, choices=["cpu", "tpu"])
     pd.add_argument("--out", required=True)
+    pd.add_argument("--stats-from", default=None, dest="stats_from",
+                    help="golden pickle whose quant_stats trees replace this"
+                         " backend's own calibration (checkpoint-determines"
+                         "-the-network invariant)")
     pd.set_defaults(fn=dump)
     pc = sub.add_parser("compare")
     pc.add_argument("a")

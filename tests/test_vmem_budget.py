@@ -93,6 +93,34 @@ def test_swin_stage3_oom_config_is_capped():
     assert pblk._swin_win_tile(8, 64, 56, 768, 24, 1, False) <= 3
 
 
+# real-TPU compile outcomes at img_tile=2 (runs/tpu_session.log
+# vmem_geometries + runs/mb_deit_tiny_r3.log tile sweep): the cap model
+# must keep every PASS geometry at its proven tile and shrink every FAIL
+ATTN_TILE_CASES = [
+    # (name, np, C, H, sm_base, proven tile t=2 compiles?)
+    ("deit_tiny_ivit", 200, 192, 3, "ivit", True),
+    ("deit_small_ivit", 200, 384, 6, "ivit", True),
+    ("deit_small_ibert", 200, 384, 6, "ibert", True),
+    ("deit_base_ibert", 200, 768, 12, "ibert", True),
+    ("deit_base_ivit", 200, 768, 12, "ivit", False),
+    ("vit_large_ivit", 200, 1024, 16, "ivit", False),
+    ("vit_large_ibert", 200, 1024, 16, "ibert", False),
+]
+
+
+@pytest.mark.parametrize("name,np_,c,h,sm,fits", ATTN_TILE_CASES)
+def test_attn_img_tile_matches_hardware(name, np_, c, h, sm, fits):
+    t = pblk._attn_img_tile(2, 256, np_, c, h, sm)
+    assert t == (2 if fits else 1), (name, t)
+
+
+def test_attn_img_tile_tiny_t8_capped():
+    """deit_tiny ivit compiled at t=4 but OOMed at t=8
+    (runs/mb_deit_tiny_r3.log) — the cap must sit in [4, 7]."""
+    t = pblk._attn_img_tile(8, 256, 200, 192, 3, "ivit")
+    assert 4 <= t < 8, t
+
+
 def test_mxu_default_is_int8():
     """Driver bench safety: the committed default must be the proven mode
     unless a hardware-green artifact for the other exists (VERDICT r2 #1)."""
