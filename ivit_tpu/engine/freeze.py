@@ -107,6 +107,13 @@ class EngineConfig:
     # Dekker exact_fma — identical bits while every operand, product and
     # sum is inside the f32-exact 2**24 envelope (_poly_fast_gate)
     fast_poly: bool = False
+    # freeze-time LUT paths (engine/luts.py): every hot nonlinearity input
+    # is an int8 integer, so the exp/erf/poly towers collapse to 256-entry
+    # tables computed at freeze — bit-identical by construction
+    use_lut: bool = False
+    # softmax exp row sums fit ONE exact int32 reduction
+    # (n * max(table) < 2**31 on every block)
+    sm_sum_i32: bool = False
 
     @property
     def head_dim(self):
@@ -188,6 +195,49 @@ def _poly_fast_gate(sm_base: str, gelu_base: str, s_attn, s_gelu) -> bool:
         c = abs(np.floor(np.float32(_ib.GELU_C) / np.float32(se * se)))
         ok = ok and bool(b * b + c < LIM)
     return bool(ok)
+
+
+def _block_luts(cfg, blk, sm_base, gelu_base, s_attn, s_gelu,
+                n_softmax: int) -> tuple:
+    """Attach the freeze-time nonlinearity LUTs to one block (VERDICT r3
+    item 1; engine/luts.py).  Every softmax/GELU input is an int8 integer
+    (the preceding requants clamp to 8 bits), so the full reachable domain
+    is enumerable and the tables are bit-identical to the towers by
+    construction.
+
+    Returns ``(lut_ok, sum_i32_ok)``: whether both sites have a table, and
+    whether the ivit softmax row sum fits one exact int32 reduction
+    (``n_softmax * max(T) < 2**31``; non-ivit families are always safe —
+    their tables are 16-bit-bounded).
+    """
+    from . import luts
+    lut_ok = True
+    sum_ok = True
+    if sm_base == "ivit":
+        t = luts.shiftmax_exp_lut(s_attn)
+        blk["sm_lut"] = t
+        sum_ok = luts.sum_fits_int32(t, n_softmax)
+    elif sm_base == "ibert":
+        blk["sm_lut"] = luts.ibert_softmax_exp16_lut(s_attn,
+                                                     blk["s_exp_act"])
+    elif sm_base == "ppoly":
+        eb = int(cfg.type_params("softmax").get("exp_bits", 16))
+        blk["sm_lut"] = luts.ppoly_softmax_exp_lut(blk["sm_bounds"],
+                                                   blk["sm_coeffs"], eb)
+    else:
+        lut_ok = False
+    if gelu_base == "ivit":
+        blk["gelu_lut"] = luts.shift_gelu_exp_lut(s_gelu)
+    elif gelu_base == "ibert":
+        blk["gelu_lut"] = luts.ibert_gelu_lut(s_gelu)
+    elif gelu_base == "ppoly":
+        sb = int(cfg.type_params("gelu").get("scale_bits", 22))
+        blk["gelu_lut"] = luts.ppoly_gelu_lut(blk["gelu_bounds"],
+                                              blk["gelu_coeffs"], sb,
+                                              blk["gelu_s_out"])
+    else:
+        lut_ok = False
+    return lut_ok, sum_ok
 
 
 def _act_scale(qs: dict, name: str, bits: int) -> np.float32:
@@ -285,6 +335,8 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     s_block_in = s_block0
     fast_exp = True
     fast_poly = True
+    use_lut = True
+    sm_sum_i32 = True
     for i in range(cfg.depth):
         bp = P[f"blocks_{i}"]
         bq = Q[f"blocks_{i}"]
@@ -409,10 +461,15 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         fast_exp = fast_exp and _exp_fast_gate(sm_base, gelu_base, s_attn, s_g)
         fast_poly = fast_poly and _poly_fast_gate(sm_base, gelu_base,
                                                   s_attn, s_g)
+        ok, s_ok = _block_luts(cfg, blk, sm_base, gelu_base, s_attn, s_g,
+                               cfg.num_patches + 1)
+        use_lut = use_lut and ok
+        sm_sum_i32 = sm_sum_i32 and s_ok
         blocks.append(blk)
         s_block_in = s_block_out
 
-    cfg = dataclasses.replace(cfg, fast_exp=fast_exp, fast_poly=fast_poly)
+    cfg = dataclasses.replace(cfg, fast_exp=fast_exp, fast_poly=fast_poly,
+                              use_lut=use_lut, sm_sum_i32=sm_sum_i32)
     p["blocks"] = blocks
 
     # --- final norm -> cls select -> qact2 -> head ---

@@ -115,6 +115,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     s_in = s0
     fast_exp = True
     fast_poly = True
+    use_lut = True
+    sm_sum_i32 = True
     grid = cfg.img_size // cfg.patch_size
     for i_layer, depth in enumerate(cfg.depths):
         dim = int(cfg.embed_dim * 2 ** i_layer)
@@ -238,11 +240,26 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             s_out = _act_scale(bq, "qact4", 16)
             blk["m_res2_x"] = requant_multiplier(s_mlp, s_out)
             blk["m_res2_id"] = requant_multiplier(s_res1, s_out)
-            from .freeze import _exp_fast_gate, _poly_fast_gate
+            from .freeze import _block_luts, _exp_fast_gate, _poly_fast_gate
             fast_exp = fast_exp and _exp_fast_gate(
                 sm_base, cfg.base_type("gelu"), blk["s_attn"], blk["s_gelu"])
             fast_poly = fast_poly and _poly_fast_gate(
                 sm_base, cfg.base_type("gelu"), blk["s_attn"], blk["s_gelu"])
+            ok, s_ok = _block_luts(cfg, blk, sm_base, cfg.base_type("gelu"),
+                                   blk["s_attn"], blk["s_gelu"], n)
+            use_lut = use_lut and ok
+            sm_sum_i32 = sm_sum_i32 and s_ok
+            if shift > 0 and "sm_lut" in blk:
+                # shift-masked positions saturate the exp tower — verify
+                # over the full masked range and store the constant; if
+                # not flat, this block's kernel keeps the tower path
+                # (block.swin_attn_block_p falls back when sm_sat is None)
+                from .luts import swin_shift_sat
+                sat_ok, sat = swin_shift_sat(sm_base, blk["s_attn"],
+                                             float(blk["mask_int"].min()),
+                                             blk.get("s_exp_act"))
+                if sat_ok:
+                    blk["sm_sat"] = sat
             blocks.append(blk)
             s_in = s_out
 
@@ -283,7 +300,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
 
     from .freeze import _to_device
     cfg = dataclasses.replace(cfg, layout=tuple(layout), fast_exp=fast_exp,
-                              fast_poly=fast_poly)
+                              fast_poly=fast_poly, use_lut=use_lut,
+                              sm_sum_i32=sm_sum_i32)
     return SwinEngineSpec(config=cfg, params=_to_device(p))
 
 
@@ -335,6 +353,9 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
               bool(fuse_mlp) for i, d in enumerate(dims)}
     return {"fused_mlp_stages": stages,
             "fused_window_attention": fuse_attn,
+            "lut_nonlinearities": bool((fuse_attn or fuse_mlp)
+                                       and getattr(cfg, "use_lut", False)
+                                       and pblk._lut_on()),
             "unfused_reasons": reasons + attn_reasons}
 
 
@@ -484,6 +505,10 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 sm_bounds=blk.get("sm_bounds"), sm_coeffs=blk.get("sm_coeffs"),
                 exp_bits=(int(cfg.type_params("softmax").get("exp_bits", 16))
                           if cfg.base_type("softmax") == "ppoly" else 16),
+                sm_lut=blk.get("sm_lut") if cfg.use_lut else None,
+                sm_sum_i32=cfg.sm_sum_i32,
+                sm_sat=(blk.get("sm_sat")
+                        if cfg.use_lut and shift > 0 else None),
                 # stage0/1: 16-window tiles amortize the per-program LN
                 # Newton serial chain (runs/swin_mb_r3.log); stage2+
                 # regresses at 16 (and stage3 is VMEM-capped anyway)
@@ -532,6 +557,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 gelu_scale_bits=(int(cfg.type_params("gelu")
                                      .get("scale_bits", 22))
                                  if cfg.base_type("gelu") == "ppoly" else 22),
+                gelu_lut=blk.get("gelu_lut") if cfg.use_lut else None,
                 c_valid=dim if dpad else None,
                 # the LN Newton chain is a fixed serial cost per grid
                 # program — prefer the largest tile the scoped-VMEM cap

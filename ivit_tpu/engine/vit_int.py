@@ -145,6 +145,9 @@ def fusion_report(cfg, pallas=None) -> dict:
         "fused_blocks": fused_blocks,
         "fused_softmax": fused_blocks or (on and sm == "ivit"),
         "fused_gelu": fused_blocks or (on and ge == "ivit"),
+        "lut_nonlinearities": bool(fused_blocks
+                                   and getattr(cfg, "use_lut", False)
+                                   and pblk._lut_on()),
         "unfused_reasons": reasons,
     }
 
@@ -388,6 +391,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                    if gelu_base == "ppoly" else 22)
         if n_pad != N:
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+        lut = cfg.use_lut
         for blk in p["blocks"]:
             x = pblk.attn_block_p(
                 x, ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
@@ -405,7 +409,9 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 out_dtype=_container(bw.norm2_in), fast_exp=cfg.fast_exp,
                 fast_poly=cfg.fast_poly,
                 sm_bounds=blk.get("sm_bounds"),
-                sm_coeffs=blk.get("sm_coeffs"), exp_bits=sm_exp_bits)
+                sm_coeffs=blk.get("sm_coeffs"), exp_bits=sm_exp_bits,
+                sm_lut=blk.get("sm_lut") if lut else None,
+                sm_sum_i32=cfg.sm_sum_i32)
             xf = x.reshape(B * n_pad, C)
             xf = pblk.mlp_block_p(
                 xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
@@ -421,7 +427,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 fast_poly=cfg.fast_poly,
                 gelu_bounds=blk.get("gelu_bounds"),
                 gelu_coeffs=blk.get("gelu_coeffs"),
-                gelu_s_out=blk.get("gelu_s_out"), gelu_scale_bits=gelu_sb)
+                gelu_s_out=blk.get("gelu_s_out"), gelu_scale_bits=gelu_sb,
+                gelu_lut=blk.get("gelu_lut") if lut else None)
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)

@@ -249,12 +249,21 @@ def _score_dots(qkv, scores_ref, row0, band0, n, c, dh, num_heads, pack,
     yields ``[p*n, n]`` — head-i scores in row band i, which is exactly the
     scores-scratch band layout, stored without any transpose.  Only the q
     side needs masking: k's cross-head columns meet q's exact zeros.
+
+    The scratch lane dim is the 128 multiple of ``n`` (LUT gather slabs need
+    aligned 128-lane slices); k is zero-row-padded so the dot emits the full
+    lane width — pad columns are exact zeros (the MXU computed those padded
+    lanes anyway), and the stores stay full-width (no masked sub-tile
+    stores, the op class behind the round-2 Mosaic miscompile).
     """
+    l_pad = scores_ref.shape[-1]
     rows = slice(row0, row0 + n)
     for h0 in range(0, num_heads, pack):
         p = min(pack, num_heads - h0)
         q_p = qkv[rows, h0 * dh:(h0 + p) * dh]
         k_p = qkv[rows, c + h0 * dh:c + (h0 + p) * dh]
+        if l_pad != n:
+            k_p = jnp.pad(k_p, ((0, l_pad - n), (0, 0)))
         if p > 1:
             ri = jax.lax.broadcasted_iota(jnp.int32, (p * n, p * dh), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (p * n, p * dh), 1)
@@ -279,10 +288,15 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
     traded for a p-fold cut in dot count (these dots are latency-bound, not
     MAC-bound — see kernel_microbench).
     """
+    l_pad = scores_ref.shape[-1]
     rows = slice(row0, row0 + n)
     for h0 in range(0, num_heads, pack):
         p = min(pack, num_heads - h0)
         v_p = qkv[rows, 2 * c + h0 * dh:2 * c + (h0 + p) * dh]
+        if l_pad != n:
+            # probs pad columns are exact zeros (softmax masks them), so
+            # zero-row-padded v contributes exactly 0 to the contraction
+            v_p = jnp.pad(v_p, ((0, l_pad - n), (0, 0)))
         probs = scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :]
         ctx = _ctx_dot(probs, v_p, sm_bit, mxu)              # [p*n, p*dh]
         if p == 1:
@@ -291,6 +305,137 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
             for i in range(p):
                 ctx_ref[rows, (h0 + i) * dh:(h0 + i + 1) * dh] = ctx[
                     i * n:(i + 1) * n, i * dh:(i + 1) * dh].astype(jnp.float32)
+
+
+def _lut_on() -> bool:
+    """Runtime kill-switch for the freeze-time LUT paths (A/B harness)."""
+    return os.environ.get("IVIT_LUT", "1") not in ("", "0")
+
+
+def _lut_banks(lut, r):
+    """Materialize LUT banks for the same-shape lane gather.
+
+    ``lut``: [nb, 128] table (VMEM input read as array).  Mosaic's
+    DynamicGatherOp requires operand.shape == indices.shape, so each bank
+    row is broadcast across the ``r`` gather rows (a sublane splat — one
+    register-fill per bank, hoisted out of the slab loop)."""
+    return [jnp.broadcast_to(lut[k:k + 1, :], (r, 128))
+            for k in range(lut.shape[0])]
+
+
+def _gather_banks(idx_slab, banks):
+    """256-entry (nb-bank) lookup of one 128-lane slab.
+
+    ``idx_slab``: [r, 128] f32-held ints in [0, nb*128); ``banks``: list of
+    [r, 128] operands (broadcast table or per-row tables).  ~6 VPU ops per
+    element at nb=2 — the replacement for the ~40-op exp towers
+    (VERDICT r3 item 1)."""
+    ii = idx_slab.astype(jnp.int32)
+    lane = jnp.bitwise_and(ii, 127)
+    val = jnp.take_along_axis(banks[0], lane, axis=1)
+    for k in range(1, len(banks)):
+        vk = jnp.take_along_axis(banks[k], lane, axis=1)
+        val = jnp.where(ii >= 128 * k, vk, val)
+    return val
+
+
+def _lut_lookup(idx, banks):
+    """Full-width LUT lookup: loop 128-lane slabs of ``idx`` [R, L].
+
+    L must be a multiple of 128 (scores scratch is lane-padded to the
+    128 multiple — physically free, VMEM tiles already pad lanes; MLP
+    hidden dims are all multiples of 128)."""
+    r, l = idx.shape
+    assert l % 128 == 0, f"LUT lookup needs 128-multiple lanes, got {l}"
+    if l == 128:
+        return _gather_banks(idx, banks)
+    outs = [_gather_banks(idx[:, s:s + 128], banks)
+            for s in range(0, l, 128)]
+    return jnp.concatenate(outs, axis=1)
+
+
+def _softmax_lut(scores, lut, sm_base, sm_bit, n_valid, sum_i32,
+                 exp_bits=16, sat=None, sat_mask=None):
+    """LUT softmax — bit-identical to the tower forms by table construction
+    (engine/luts.py: T[i] = tower(-i) over the full int8-difference domain).
+
+    ``scores``: [R, L] f32-held ints, L a 128 multiple (lanes >= n_valid are
+    pad/garbage and fully masked).  ``sat``/``sat_mask``: Swin shifted
+    blocks — the additive shift mask pushes scores below the int8 domain;
+    those positions' exp equal the freeze-verified saturation constant
+    (the tower clamps at n*x0), selected directly.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    mask = col < n_valid
+    x = jnp.where(mask, scores, -(2.0**23))
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    idx = jnp.clip(x_max - x, 0.0, 128.0 * lut.shape[0] - 1.0)
+    banks = _lut_banks(lut, scores.shape[0])
+    exp = _lut_lookup(idx, banks)
+    if sat is not None:
+        exp = jnp.where(sat_mask, sat, exp)
+    exp = jnp.where(mask, exp, 0.0)
+    if sm_base == "ivit":
+        # sum gate (freeze: n * max(T) < 2**31): ONE exact int32 reduction;
+        # the two-limb fallback + INT32_MAX clamp otherwise (identical
+        # values — the gate bounds the true sum under the clamp)
+        if sum_i32:
+            exp_sum = jnp.sum(exp.astype(jnp.int32), axis=-1,
+                              keepdims=True).astype(jnp.float32)
+        else:
+            exp_sum = jnp.minimum(_int_sum(exp), INT32_MAX)
+        factor = jnp.floor(_rdiv(INT32_MAX, exp_sum))
+        return jnp.floor(exp * factor * (2.0 ** -(31 - sm_bit + 1)))
+    if sm_base == "ibert":
+        # table already folds the internal 16-bit exp QuantAct: values in
+        # [0, 2**15), so the int32 row sum is exact at any n <= 2**16
+        exp_sum = jnp.sum(exp.astype(jnp.int32), axis=-1,
+                          keepdims=True).astype(jnp.float32)
+        factor = jnp.floor(_rdiv(2.0**32, exp_sum))
+        return jnp.floor(exp * factor * (2.0 ** -(32 - sm_bit + 1)))
+    # ppoly: table folds the exp_bits floor; plain f32 sum (exact: values
+    # < 2**(exp_bits-1), n <= 512) + the engine's >=1 clamp
+    exp_sum = jnp.clip(jnp.sum(exp, axis=-1, keepdims=True), 1.0, None)
+    factor = jnp.floor(_rdiv(2.0**32, exp_sum))
+    return jnp.floor(exp * factor * (2.0 ** -(32 - sm_bit + 1)))
+
+
+def _shift_gelu_lut(x, lut, s_sig, output_bit=8, n=23, fast_q=False):
+    """LUT ShiftGELU: per-row sigmoid table, then one gather per element.
+
+    The tower's per-element ``floor(rdiv(INT32_MAX, exp + exp_max))`` is the
+    kernel's costliest chain (~22 VPU ops each).  ``exp`` only takes the 256
+    values T[i] (i = x_max - x), and ``exp_max`` is constant per row — so
+    the whole sigmoid collapses to a per-row 256-entry table built once
+    ([R, 256] vectorized, amortized over the hidden dim) and gathered.
+    Every op matches the tower path elementwise, so values are identical
+    (tests/test_lut.py)."""
+    r = x.shape[0]
+    x_max = jnp.max(x, axis=-1, keepdims=True)
+    exp_max = _int_exp_shift(-x_max, s_sig, n, fast_q)        # [R, 1]
+    sig_banks = []
+    for k in range(lut.shape[0]):
+        t1 = jnp.broadcast_to(lut[k:k + 1, :], (r, 128))
+        esum = jnp.minimum(t1 + exp_max, INT32_MAX)
+        factor = jnp.floor(_rdiv(INT32_MAX, esum))
+        sig_banks.append(jnp.floor(t1 * factor
+                                   * (2.0 ** -(31 - output_bit + 1))))
+    idx = jnp.clip(x_max - x, 0.0, 128.0 * lut.shape[0] - 1.0)
+    return x * _lut_lookup(idx, sig_banks)
+
+
+def _ibert_gelu_lut(x, lut):
+    """LUT ibert GELU: y = x * U[x + 128] with U = erf_int + shift folded
+    at freeze (engine/luts.ibert_gelu_lut); input is the int8 fc1 requant."""
+    idx = jnp.clip(x + 128.0, 0.0, 128.0 * lut.shape[0] - 1.0)
+    return x * _lut_lookup(idx, _lut_banks(lut, x.shape[0]))
+
+
+def _ppoly_gelu_lut(x, lut):
+    """LUT ppoly GELU: the whole Horner + /2**sb + grid re-floor chain
+    folded into U[x + 128] (engine/luts.ppoly_gelu_lut)."""
+    idx = jnp.clip(x + 128.0, 0.0, 128.0 * lut.shape[0] - 1.0)
+    return _lut_lookup(idx, _lut_banks(lut, x.shape[0]))
 
 
 def _pack_ppoly(bounds, coeffs):
@@ -453,10 +598,10 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
 
 
 def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
-                w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, o_ref, *,
+                w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, glut_ref, o_ref, *,
                 ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
                 mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate="",
-                c_valid=None):
+                c_valid=None, gelu_lut=False):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -492,15 +637,26 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
         g = h
     else:
         if gelu_base == "ivit":
-            g = _shift_gelu(h, s_sig, fast_q=fast_exp)
+            if gelu_lut:
+                g = _shift_gelu_lut(h, glut_ref[...], s_sig, fast_q=fast_exp)
+            else:
+                g = _shift_gelu(h, s_sig, fast_q=fast_exp)
         elif gelu_base == "ppoly":
-            # engine _gelu_int ppoly branch bit-for-bit: Horner ints on the
-            # 2**scale_bits grid, exact /2**sb, floor onto the backend grid
-            y_int = _ppoly_eval(h, pp_ref, pp_seg, pp_deg)
-            g = jnp.floor(_rdiv(y_int * (2.0 ** -pp_scale_bits), s_pp_out))
+            if gelu_lut:
+                g = _ppoly_gelu_lut(h, glut_ref[...])
+            else:
+                # engine _gelu_int ppoly branch bit-for-bit: Horner ints on
+                # the 2**scale_bits grid, exact /2**sb, floor onto the
+                # backend grid
+                y_int = _ppoly_eval(h, pp_ref, pp_seg, pp_deg)
+                g = jnp.floor(_rdiv(y_int * (2.0 ** -pp_scale_bits),
+                                    s_pp_out))
         else:
             # s_sig carries raw s_gelu for ibert
-            g = _ibert_gelu(h, s_sig, fast_poly)
+            if gelu_lut:
+                g = _ibert_gelu_lut(h, glut_ref[...])
+            else:
+                g = _ibert_gelu(h, s_sig, fast_poly)
         g = _requant(g, m_gelu, 8)
 
     if bf16:
@@ -528,7 +684,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 out_dtype=jnp.int8, fast_exp: bool = False,
                 fast_poly: bool = False,
                 gelu_bounds=None, gelu_coeffs=None, gelu_s_out=None,
-                gelu_scale_bits: int = 22,
+                gelu_scale_bits: int = 22, gelu_lut=None,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
                 mxu: str | None = None, c_valid: int | None = None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
@@ -569,6 +725,9 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
          if gelu_s_out is not None else jnp.float32(1.0)),
     ])
     pp, pp_seg, pp_deg = _pack_ppoly(gelu_bounds, gelu_coeffs)
+    use_glut = gelu_lut is not None and _lut_on()
+    glut = (jnp.asarray(gelu_lut, jnp.float32).reshape(-1, 128)
+            if use_glut else jnp.zeros((1, 128), jnp.float32))
 
     interp = _interp(interpret)
     with _kernel_trace(interp):
@@ -578,7 +737,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                               fast_exp=fast_exp, fast_poly=fast_poly,
                               mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_scale_bits=gelu_scale_bits, ablate=ablate,
-                              c_valid=c_valid),
+                              c_valid=c_valid, gelu_lut=use_glut),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
@@ -595,6 +754,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((glut.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -605,7 +766,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
           m_ln.astype(jnp.float32).reshape(1, c),
           fc1_w, fc1_b.reshape(1, hd), m_fc1.astype(jnp.float32).reshape(1, hd),
           fc2_w, fc2_b.reshape(1, c), m_fc2.astype(jnp.float32).reshape(1, c),
-          scalars, pp)
+          scalars, pp, glut)
     return out
 
 
@@ -684,10 +845,11 @@ def _ibert_softmax(x, s, m_exp_act, output_bit, n_valid, fast_q=False,
 
 def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, pp_ref,
-                 o_ref,
+                 smlut_ref, o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
-                 fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16):
+                 fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16,
+                 sm_lut=False, sm_sum_i32=False):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -749,6 +911,9 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
     if "softmax" in ablate:
         probs_all = jnp.clip(scores, 0.0, 127.0)
+    elif sm_lut:
+        probs_all = _softmax_lut(scores, smlut_ref[...], sm_base, sm_bit,
+                                 n_valid, sm_sum_i32, exp_bits=pp_exp_bits)
     elif sm_base == "ivit":
         probs_all = _shiftmax(scores, s_attn, sm_bit, n_valid, fast_exp)
     elif sm_base == "ppoly":
@@ -801,6 +966,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  out_dtype=jnp.int8, fast_exp: bool = False,
                  fast_poly: bool = False,
                  sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
+                 sm_lut=None, sm_sum_i32: bool = False,
                  img_tile: int = 2, interpret: bool = False, ablate="",
                  mxu: str | None = None):
     """Fused attention half-block on the padded token stream.
@@ -830,6 +996,10 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
          if s_exp_act is not None else jnp.float32(1.0)),
     ])
     pp, pp_seg, pp_deg = _pack_ppoly(sm_bounds, sm_coeffs)
+    use_smlut = sm_lut is not None and _lut_on()
+    smlut = (jnp.asarray(sm_lut, jnp.float32).reshape(-1, 128)
+             if use_smlut else jnp.zeros((1, 128), jnp.float32))
+    l_pad = -(-np_ // 128) * 128   # scratch lane width: LUT slab alignment
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -839,7 +1009,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               out_bits=out_bits, attn_bits=attn_bits,
                               fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu,
                               pp_seg=pp_seg, pp_deg=pp_deg,
-                              pp_exp_bits=exp_bits),
+                              pp_exp_bits=exp_bits, sm_lut=use_smlut,
+                              sm_sum_i32=sm_sum_i32),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -857,11 +1028,14 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((smlut.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((t * np_, c), jnp.float32),
-                            pltpu.VMEM((t * num_heads * np_, np_), jnp.float32)],
+                            pltpu.VMEM((t * num_heads * np_, l_pad),
+                                       jnp.float32)],
             interpret=interp,
         )(x_int,
           ln_bias.astype(jnp.float32).reshape(1, c),
@@ -869,7 +1043,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
           m_ln.astype(jnp.float32).reshape(1, c),
           qkv_w, qkv_b.reshape(1, 3 * c), m_qkv.astype(jnp.float32).reshape(1, 3 * c),
           proj_w, proj_b.reshape(1, c), m_proj.astype(jnp.float32).reshape(1, c),
-          scalars, pp)
+          scalars, pp, smlut)
     return out
 
 
@@ -898,10 +1072,12 @@ def _swin_win_tile(win_tile: int, bw: int, n: int, c: int, num_heads: int,
 
 def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
-                      mproj_ref, sc_ref, pp_ref, o_ref, ctx_ref, scores_ref, *,
+                      mproj_ref, sc_ref, pp_ref, smlut_ref, o_ref, ctx_ref,
+                      scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
                       fast_exp, fast_poly, mxu, n_valid, ablate="",
-                      pp_seg=0, pp_deg=0, pp_exp_bits=16):
+                      pp_seg=0, pp_deg=0, pp_exp_bits=16,
+                      sm_lut=False, sm_sum_i32=False):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -966,6 +1142,16 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
 
     if "softmax" in ablate:
         probs = jnp.clip(scores_ref[...], 0.0, 127.0)
+    elif sm_lut:
+        # shifted blocks: the additive mask pushes scores below the int8
+        # LUT domain; those positions' exp equal the freeze-verified
+        # saturation constant sc_ref[8] (see engine/luts.py mask gate)
+        sat = sc_ref[8] if mask_per_win else None
+        sat_mask = (mask_ref[...] < 0.0) if mask_per_win else None
+        probs = _softmax_lut(scores_ref[...], smlut_ref[...], sm_base,
+                             sm_bit, n_valid, sm_sum_i32,
+                             exp_bits=pp_exp_bits, sat=sat,
+                             sat_mask=sat_mask)
     elif sm_base == "ivit":
         probs = _shiftmax(scores_ref[...], s_attn, sm_bit, n_valid, fast_exp)
     elif sm_base == "ppoly":
@@ -1017,6 +1203,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       sm_bit=8, fast_exp: bool = False,
                       fast_poly: bool = False,
                       sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
+                      sm_lut=None, sm_sum_i32: bool = False, sm_sat=None,
                       win_tile: int = 8,
                       interpret: bool = False, mxu: str | None = None,
                       ablate: str = ""):
@@ -1064,29 +1251,36 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                         mask_addend is not None)
     grid = (pl.cdiv(bw_, wt),)
     mask_per_win = mask_addend is not None
-    # rel/mask addends pre-tiled to the scratch row layout [wt*H*n, n]
+    # scratch lane width: the LUT gather runs on aligned 128-lane slabs
+    # (physically free — VMEM tiles already pad lanes to the 128 multiple)
+    l_pad = -(-n // 128) * 128
+
+    def _lp(a):
+        return jnp.pad(a, ((0, 0), (0, l_pad - n))) if l_pad != n else a
+
+    # rel/mask addends pre-tiled to the scratch row layout [wt*H*n, l_pad]
     # (row band (w*H + h)*n holds window w, head h) so the kernel applies
     # them in ONE batched epilogue instead of per-(window, head) rounds
     h_ = num_heads
-    rel = jnp.tile(jnp.asarray(rel_addend, jnp.float32).reshape(h_ * n, n),
-                   (wt, 1))
-    rel_spec = pl.BlockSpec((wt * h_ * n, n), lambda i: (0, 0),
+    rel = _lp(jnp.tile(jnp.asarray(rel_addend, jnp.float32).reshape(h_ * n, n),
+                       (wt, 1)))
+    rel_spec = pl.BlockSpec((wt * h_ * n, l_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     if mask_addend is None:
-        mask = jnp.zeros((8, n), jnp.float32)
-        mask_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
+        mask = jnp.zeros((8, l_pad), jnp.float32)
+        mask_spec = pl.BlockSpec((8, l_pad), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     elif wt >= nw:
         # tile covers whole images: window j of the tile uses mask[j % nW]
         m = jnp.tile(mask_addend.astype(jnp.float32), (wt // nw, 1, 1))
-        mask = jnp.repeat(m, h_, axis=0).reshape(wt * h_ * n, n)
-        mask_spec = pl.BlockSpec((wt * h_ * n, n), lambda i: (0, 0),
+        mask = _lp(jnp.repeat(m, h_, axis=0).reshape(wt * h_ * n, n))
+        mask_spec = pl.BlockSpec((wt * h_ * n, l_pad), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        mask = jnp.repeat(mask_addend.astype(jnp.float32),
-                          h_, axis=0).reshape(nw * h_ * n, n)
+        mask = _lp(jnp.repeat(mask_addend.astype(jnp.float32),
+                              h_, axis=0).reshape(nw * h_ * n, n))
         nblk = n_windows // wt
-        mask_spec = pl.BlockSpec((wt * h_ * n, n),
+        mask_spec = pl.BlockSpec((wt * h_ * n, l_pad),
                                  lambda i: (i % nblk, 0),
                                  memory_space=pltpu.VMEM)
     scalars = jnp.stack([
@@ -1101,8 +1295,15 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
         # per-element 16-bit exp requant is then one in-kernel multiply
         (_rdiv(1.0, jnp.reshape(s_exp_act, ()).astype(jnp.float32))
          if s_exp_act is not None else jnp.float32(1.0)),
+        # freeze-verified exp saturation value for shift-masked positions
+        (jnp.reshape(sm_sat, ()).astype(jnp.float32)
+         if sm_sat is not None else jnp.float32(0.0)),
     ])
     pp, pp_seg, pp_deg = _pack_ppoly(sm_bounds, sm_coeffs)
+    use_smlut = (sm_lut is not None and _lut_on()
+                 and (not mask_per_win or sm_sat is not None))
+    smlut = (jnp.asarray(sm_lut, jnp.float32).reshape(-1, 128)
+             if use_smlut else jnp.zeros((1, 128), jnp.float32))
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -1112,7 +1313,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                               fast_exp=fast_exp, fast_poly=fast_poly,
                               mxu=mxu, n_valid=n_valid, ablate=ablate,
                               pp_seg=pp_seg, pp_deg=pp_deg,
-                              pp_exp_bits=exp_bits),
+                              pp_exp_bits=exp_bits, sm_lut=use_smlut,
+                              sm_sum_i32=sm_sum_i32),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,
@@ -1135,11 +1337,14 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((smlut.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((wt * n, c), jnp.float32),
-                            pltpu.VMEM((wt * num_heads * n, n), jnp.float32)],
+                            pltpu.VMEM((wt * num_heads * n, l_pad),
+                                       jnp.float32)],
             interpret=interp,
         )(xw,
           ln_bias.astype(jnp.float32).reshape(1, c),
@@ -1151,5 +1356,5 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
           mask,
           proj_w, proj_b.reshape(1, c),
           m_proj.astype(jnp.float32).reshape(1, c),
-          scalars, pp)
+          scalars, pp, smlut)
     return out[:, :n_valid] if n != n_valid else out
