@@ -1,0 +1,87 @@
+"""Cost-aware engine path dispatch (VERDICT r3 item 2).
+
+The engine has two bit-identical execution paths: the fused Pallas block
+kernels and the unfused per-op XLA graph.  Which is faster depends on the
+model geometry (small-channel models amortize the fused kernels' fixed
+per-program cost poorly — round-3: DeiT-T unfused 7,937 vs fused
+6,994 img/s).  The Engine must never default to a measured-slower path, so
+its ``pallas=None`` default now resolves through this module:
+
+* :func:`static_choice` — a calibration table of hardware A/B measurements
+  (provenance: runs/ logs), with a geometry heuristic fallback;
+* :func:`timed_choice` — a one-time timed probe of both compiled paths
+  (``Engine(spec, probe_images=...)``), for geometries absent from the
+  table.
+
+The choice and its source are recorded in ``Engine.fusion["path_choice"]``
+and logged; ``scripts/bench_matrix.py`` stores it next to every number.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Tuple
+
+# Hardware A/B calibration table: (arch, embed_dim) -> fused?
+# Each row cites its measurement log.  Round-3 state (pre-LUT kernels):
+# the small-channel models lost on the fused path.  Rows are re-measured
+# after every kernel-default change (the round-2 rule: no default change
+# without same-session bench+validate) — scripts/path_compare.py /
+# scripts/swin_path_compare.py regenerate them.
+MEASURED: Dict[Tuple[str, int], Dict[str, Any]] = {
+    # r3: fused 6,994 vs unfused 7,937 img/s (runs/path_compare_tiny_pack.log)
+    ("vit", 192): {"fused": False,
+                   "evidence": "r3 runs/path_compare_tiny_pack.log "
+                               "(6,994 fused vs 7,937 unfused)"},
+    # r3: fused 4,780 vs unfused ~3,900 (runs/path_compare_small_ibert.log)
+    ("vit", 384): {"fused": True,
+                   "evidence": "r3 runs/path_compare_small_ibert.log"},
+    # r3: ViT-B fused 1.162x bf16 (BENCH_MATRIX_r3.json vit_base row)
+    ("vit", 768): {"fused": True, "evidence": "BENCH_MATRIX_r3.json vit_base"},
+    # r3: fused 1,529 vs unfused 1,563 img/s (runs/swin_path_compare_r3f.log)
+    ("swin", 96): {"fused": False,
+                   "evidence": "r3 runs/swin_path_compare_r3f.log "
+                               "(1,529 fused vs 1,563 unfused)"},
+}
+
+
+def static_choice(cfg) -> Tuple[bool, Dict[str, Any]]:
+    """Table lookup -> (use_fused, report).  Geometries absent from the
+    table take the embed-dim heuristic the round-3 measurements imply
+    (fused kernels amortize their fixed per-program cost at larger C)."""
+    arch = "swin" if hasattr(cfg, "depths") else "vit"
+    key = (arch, int(cfg.embed_dim))
+    row = MEASURED.get(key)
+    if row is not None:
+        return bool(row["fused"]), {"source": "static-table", "key": str(key),
+                                    "evidence": row["evidence"]}
+    fused = int(cfg.embed_dim) >= 256 or arch == "swin"
+    return fused, {"source": "heuristic", "key": str(key),
+                   "evidence": "embed_dim >= 256 amortizes the fused "
+                               "kernels' per-program cost (r3 table)"}
+
+
+def timed_choice(fused_fn, unfused_fn, x, iters: int = 10):
+    """One-time timed probe: run both compiled paths, pick the faster.
+
+    ``fused_fn``/``unfused_fn``: callables taking ``x`` (already jitted);
+    both are compiled (first call) then timed over ``iters`` dispatches.
+    Returns ``(use_fused, report)``.
+    """
+    import jax
+
+    def _t(fn):
+        jax.block_until_ready(fn(x))           # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    t_fused = _t(fused_fn)
+    t_unfused = _t(unfused_fn)
+    return t_fused <= t_unfused, {
+        "source": "timed-probe",
+        "t_fused_ms": round(t_fused * 1e3, 3),
+        "t_unfused_ms": round(t_unfused * 1e3, 3),
+    }

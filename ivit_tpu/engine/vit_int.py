@@ -497,30 +497,55 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
 
 class Engine:
     """Callable integer inference engine for one frozen model (ViT or Swin
-    spec — dispatches on the spec type, like ServingEngine)."""
+    spec — dispatches on the spec type, like ServingEngine).
 
-    def __init__(self, spec: EngineSpec, pallas=None):
+    ``pallas=None`` resolves through the cost-aware dispatch
+    (engine/dispatch.py, VERDICT r3 item 2): the hardware A/B calibration
+    table picks fused vs unfused per geometry, and ``probe_images`` runs a
+    one-time timed probe of both compiled paths instead.  The choice and
+    its evidence land in ``self.fusion["path_choice"]``.
+    """
+
+    def __init__(self, spec: EngineSpec, pallas=None, probe_images=None):
+        from . import dispatch
         from .swin_int import (SwinEngineSpec, swin_engine_forward,
                                swin_fusion_report)
         self.spec = spec
+        spec_cls = type(spec)
+        fwd = (swin_engine_forward if isinstance(spec, SwinEngineSpec)
+               else engine_forward)
+
+        def _jit(path):
+            return jax.jit(lambda params, images: fwd(
+                spec_cls(self.spec.config, params), images, pallas=path))
+
+        path_choice = {"source": "caller", "pallas": repr(pallas)}
+        if pallas is None and jax.default_backend() == "tpu":
+            if probe_images is not None:
+                fused, path_choice = dispatch.timed_choice(
+                    lambda a: _jit(True)(spec.params, a),
+                    lambda a: _jit(False)(spec.params, a), probe_images)
+            else:
+                fused, path_choice = dispatch.static_choice(spec.config)
+            pallas = bool(fused)
+
         if isinstance(spec, SwinEngineSpec):
-            fwd, self.fusion = swin_engine_forward, swin_fusion_report(
-                spec.config, pallas)
+            self.fusion = swin_fusion_report(spec.config, pallas)
             fused = self.fusion["fused_window_attention"]
         else:
-            fwd, self.fusion = engine_forward, fusion_report(
-                spec.config, pallas)
+            self.fusion = fusion_report(spec.config, pallas)
             fused = self.fusion["fused_blocks"]
+        self.fusion["path_choice"] = path_choice
         import logging
         log = logging.getLogger("ivit_tpu.engine")
         if fused:
-            log.info("engine path: fused Pallas block kernels")
+            log.info("engine path: fused Pallas block kernels (%s)",
+                     path_choice.get("source"))
         else:
-            log.warning("engine path: UNFUSED per-op graph (%s)",
-                        "; ".join(self.fusion["unfused_reasons"]))
-        spec_cls = type(spec)
-        self._jitted = jax.jit(lambda params, images: fwd(
-            spec_cls(self.spec.config, params), images, pallas=pallas))
+            log.warning("engine path: UNFUSED per-op graph (%s; choice: %s)",
+                        "; ".join(self.fusion["unfused_reasons"]) or "by "
+                        "dispatch", path_choice)
+        self._jitted = _jit(pallas)
 
     def __call__(self, images):
         return self._jitted(self.spec.params, images)
