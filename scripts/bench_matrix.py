@@ -28,6 +28,12 @@ CONFIGS = [
      "gelu": "ivit", "softmax": "ibert", "ln": "ibert"},
     {"name": "swin_tiny_ivit", "model": "swin_tiny_patch4_window7_224",
      "gelu": "ivit", "softmax": "ivit", "ln": "ivit"},
+    # ppoly throughput row (VERDICT r3 item 9 / missing #3): the fitted
+    # piecewise-poly family at inference, fused (reference sweep analogue:
+    # scripts/sweep_ppoly_inference.sh)
+    {"name": "deit_small_ppoly", "model": "deit_small_patch16_224",
+     "gelu": "ppoly_backend_ibert", "softmax": "ppoly_backend_ibert",
+     "ln": "ibert"},
 ]
 
 
