@@ -623,7 +623,13 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift, c_valid)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
-    if bf16:
+    if "fc1gemm" in ablate:
+        # per-GEMM-site attribution (kernel_microbench): cheap tile-copy
+        # stand-in with the fc1 output shape
+        reps = w1_ref.shape[1] // y.shape[1]
+        h = jnp.clip(jnp.tile(y, (1, max(1, reps)))[:, :w1_ref.shape[1]],
+                     -128.0, 127.0)
+    elif bf16:
         acc = _dot_exact(y, w1_ref[...]) + b1_ref[...]
         h = _requant(acc, m1_ref[...], 8)
     else:
@@ -659,7 +665,9 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
                 g = _ibert_gelu(h, s_sig, fast_poly)
         g = _requant(g, m_gelu, 8)
 
-    if bf16:
+    if "fc2gemm" in ablate:
+        y2 = _requant(g[:, :x_in.shape[1]], m2_ref[...], mlp_bits)
+    elif bf16:
         acc = _dot_exact(g, w2_ref[...]) + b2_ref[...]
         # fc2 requants into ITS OWN container (mlp_out bitwidth) before the
         # residual's wider clip — on Swin these differ (8 vs 16) and using
@@ -872,7 +880,11 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
-    if bf16:
+    if "qkvgemm" in ablate:
+        # per-GEMM-site attribution (kernel_microbench): replace the qkv
+        # dot with a cheap tile-copy of comparable output shape
+        qkv = jnp.tile(y, (1, 3)).astype(jnp.int8)
+    elif bf16:
         if n_valid != np_:
             # padding-token rows are all-zero -> LN variance 0 -> factor inf
             # -> NaN.  The int8 path launders those NaNs through the int8
@@ -941,7 +953,9 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       sm_bit, mxu)
         ctx_ref[...] = _requant(ctx_ref[...], m_av, 8)
 
-    if bf16:
+    if "projgemm" in ablate:
+        y2 = _requant(ctx_ref[...], mproj_ref[...], proj_bits)
+    elif bf16:
         acc = _dot_exact(ctx_ref[...], wproj_ref[...]) + bproj_ref[...]
         y2 = _requant(acc, mproj_ref[...], proj_bits)
     else:

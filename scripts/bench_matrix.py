@@ -151,16 +151,24 @@ def bench_config(cfg, batch, iters, sol=False):
                                               swin_engine_forward,
                                               swin_fusion_report)
         spec = freeze_swin_model(model, frozen)
-        fusion = swin_fusion_report(spec.config)
+        from ivit_tpu.engine.dispatch import static_choice
+        use_fused, path_choice = static_choice(spec.config)
+        fusion = swin_fusion_report(spec.config, pallas=use_fused)
+        fusion["path_choice"] = path_choice
         fwd = jax.jit(lambda p, a: swin_engine_forward(
-            type(spec)(spec.config, p), a))
+            type(spec)(spec.config, p), a, pallas=use_fused))
     else:
         from ivit_tpu.engine import freeze_model
         from ivit_tpu.engine.vit_int import engine_forward, fusion_report
         spec = freeze_model(model, frozen)
-        fusion = fusion_report(spec.config)
+        # cost-aware path dispatch (engine/dispatch.py): the matrix rows
+        # always use the measured-best path, and record the choice
+        from ivit_tpu.engine.dispatch import static_choice
+        use_fused, path_choice = static_choice(spec.config)
+        fusion = fusion_report(spec.config, pallas=use_fused)
+        fusion["path_choice"] = path_choice
         fwd = jax.jit(lambda p, a: engine_forward(
-            type(spec)(spec.config, p), a))
+            type(spec)(spec.config, p), a, pallas=use_fused))
 
     # parity spot-check (chunked sim == model.apply, tests/test_chunked.py)
     if is_swin:

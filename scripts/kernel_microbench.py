@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--attn-tiles", default="1,2,4,8")
     ap.add_argument("--mlp-tiles", default="256,512,1024,2048")
     ap.add_argument("--ablations", default=",softmax,ln,softmax+ln")
+    ap.add_argument("--sites", action="store_true",
+                    help="per-GEMM-site SoL via ablation deltas + "
+                         "standalone patch/head GEMMs (VERDICT r3 item 8)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +97,9 @@ def main():
                 s_exp_act=blk.get("s_exp_act"), sm_bit=bw.softmax,
                 attn_bits=8, proj_bits=bw.attention_out, out_bits=8,
                 out_dtype=jnp.int8, fast_exp=cfg.fast_exp,
-                fast_poly=cfg.fast_poly, img_tile=tile, ablate=ablate)
+                fast_poly=cfg.fast_poly, img_tile=tile, ablate=ablate,
+                sm_lut=blk.get("sm_lut") if cfg.use_lut else None,
+                sm_sum_i32=cfg.sm_sum_i32)
         return step
 
     def mlp_fn(tile, ablate):
@@ -110,7 +115,8 @@ def main():
                 ln_base=ln_base, gelu_base=gelu_base,
                 mlp_bits=bw.mlp_out, out_bits=8, out_dtype=jnp.int8,
                 fast_exp=cfg.fast_exp, fast_poly=cfg.fast_poly,
-                tile_rows=tile, ablate=abl)
+                tile_rows=tile, ablate=abl,
+                gelu_lut=blk.get("gelu_lut") if cfg.use_lut else None)
         return step
 
     ablations = args.ablations.split(",")
@@ -135,6 +141,62 @@ def main():
                            "error": repr(exc)[:160]}
                 print(json.dumps(rec), flush=True)
                 results.append(rec)
+
+    if args.sites:
+        # Per-GEMM-site speed-of-light (VERDICT r3 item 8): ablation deltas
+        # at the default tiles, plus standalone XLA patch/head GEMMs.
+        from ivit_tpu.utils.benchmarking import chip_peaks
+        peak = chip_peaks()["int8_tops"]
+        Dh = C // H
+        F = int(cfg.mlp_ratio * C)
+        ops = {
+            "qkv": ("attn", "qkvgemm", 2 * B * n_pad * C * 3 * C),
+            "scores": ("attn", "qk", 2 * B * H * n_pad * n_pad * Dh),
+            "ctx": ("attn", "av", 2 * B * H * n_pad * n_pad * Dh),
+            "proj": ("attn", "projgemm", 2 * B * n_pad * C * C),
+            "fc1": ("mlp", "fc1gemm", 2 * B * n_pad * C * F),
+            "fc2": ("mlp", "fc2gemm", 2 * B * n_pad * C * F),
+        }
+        base = {}
+        for kind, fn, x0, tile in (("attn", attn_fn, x_attn, 4),
+                                   ("mlp", mlp_fn, x_mlp, 512)):
+            base[kind] = time_inloop(fn(tile, ""), x0, n_iters=args.iters,
+                                     n_timings=3)
+        table = {}
+        for site, (kind, abl, site_ops) in ops.items():
+            fn, x0, tile = ((attn_fn, x_attn, 4) if kind == "attn"
+                            else (mlp_fn, x_mlp, 512))
+            t_abl = time_inloop(fn(tile, abl), x0, n_iters=args.iters,
+                                n_timings=3)
+            d_us = max(0.1, (base[kind] - t_abl) * 1e6)
+            table[site] = {"delta_us": round(d_us, 1),
+                           "ops": site_ops,
+                           "sol": round(site_ops / (d_us * 1e-6) / peak, 3)}
+        # standalone XLA patch-embed and head GEMMs at site shapes
+        ps = cfg.patch_size
+        n_tok = cfg.num_patches
+        xp = jnp.asarray(rng.integers(-100, 100, size=(
+            B, n_tok, ps * ps * 3)).astype(np.int8))
+        xh = jnp.asarray(rng.integers(-100, 100, size=(B, C))
+                         .astype(np.int8))
+        for site, x0, w, m in (
+                ("patch", xp, p["patch"]["w"], p["patch"]["m"]),
+                ("head", xh, p["head_w"], None)):
+            def gemm(a, w=w, m=m):
+                acc = jax.lax.dot_general(
+                    a, w, (((a.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if m is None:
+                    return acc.astype(jnp.float32)
+                return jnp.clip(jnp.round(acc.astype(jnp.float32) * m),
+                                -128, 127).astype(jnp.int8)
+            t = time_inloop(gemm, x0, n_iters=args.iters, n_timings=3)
+            site_ops = 2 * x0.size * w.shape[-1]
+            table[site] = {"us": round(t * 1e6, 1), "ops": site_ops,
+                           "sol": round(site_ops / t / peak, 3)}
+        print(json.dumps({"per_gemm_site_sol": table,
+                          "peak_int8_tops": peak}), flush=True)
+        results.append({"per_gemm_site_sol": table})
     return results
 
 

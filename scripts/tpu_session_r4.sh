@@ -68,6 +68,10 @@ run_step path_swin 2400 sh -c "python scripts/swin_path_compare.py > runs/swin_p
 # 4. full benchmark matrix with speed-of-light accounting (+ ppoly row)
 run_step bench_matrix 7200 python scripts/bench_matrix.py --sol --out BENCH_MATRIX_r4.json
 
+# 4b. per-GEMM-site SoL attribution (r3 item 8)
+run_step sites_tiny 2400 sh -c "python scripts/kernel_microbench.py --model deit_tiny_patch16_224 --sites --attn-tiles 4 --mlp-tiles 512 > runs/sites_tiny_r4.log 2>&1"
+run_step sites_small 2400 sh -c "python scripts/kernel_microbench.py --model deit_small_patch16_224 --sites --attn-tiles 2 --mlp-tiles 512 > runs/sites_small_r4.log 2>&1"
+
 # 5. headline driver metric
 run_step bench 1800 python bench.py
 
