@@ -1,8 +1,10 @@
-"""Probe: which same-shape dynamic-gather forms does Mosaic lower?
+"""LUT-gather feasibility probe (gates IVIT_LUT in scripts/tpu_session_r4.sh).
 
-Round-4 feasibility for VERDICT item 1 (freeze-time exact nonlinearity
-LUTs).  Mosaic's gather is a same-shape per-element shuffle: probe lane
-(axis=1, 128-entry) and sublane (axis=0, 8-entry) variants plus dtypes.
+Compiles and value-checks EXACTLY the construction the LUT kernels use
+(ops/pallas/block.py): a [nb, 128] table input, in-kernel broadcast of each
+bank row across the gather rows, f32-held indices cast to int32, the
+2-bank `>= 128` select, and a 2-slab [R, 256] lookup — on the real Mosaic
+backend.  Exit 0 = the LUT paths are safe to enable on hardware.
 """
 import sys
 
@@ -12,48 +14,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+sys.path.insert(0, ".")
 
-def run(name, shape, axis, dtype=np.float32):
-    R, C = shape
-    T = shape[axis]
+from ivit_tpu.ops.pallas.block import _lut_banks, _lut_lookup  # noqa: E402
+
+
+def main():
     rng = np.random.default_rng(0)
-    table_np = rng.integers(0, 120, size=(T,)).astype(dtype)
-    idx_np = rng.integers(0, T, size=(R, C)).astype(np.int32)
-    want = table_np[idx_np]
-    if axis == 1:
-        tab2 = np.broadcast_to(table_np[None, :], (R, T)).copy()
-    else:
-        tab2 = np.broadcast_to(table_np[:, None], (T, C)).copy()
+    R, L, NB = 256, 256, 2
+    table = rng.integers(0, 2**24, size=(NB * 128,)).astype(np.float32)
+    idx = rng.integers(0, NB * 128, size=(R, L)).astype(np.float32)
+    want = table[idx.astype(np.int32)]
 
-    def kernel(idx_ref, t_ref, o_ref):
-        o_ref[...] = jnp.take_along_axis(t_ref[...], idx_ref[...], axis=axis)
+    def kernel(idx_ref, lut_ref, o_ref):
+        banks = _lut_banks(lut_ref[...], R)
+        o_ref[...] = _lut_lookup(idx_ref[...], banks)
 
-    try:
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((R, C), dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(jnp.asarray(idx_np), jnp.asarray(tab2))
-        out = np.asarray(jax.block_until_ready(out))
-        ok = np.array_equal(out, want)
-        print(f"{name} {shape} axis={axis} {np.dtype(dtype).name}: exact={ok}")
-        return ok
-    except Exception as e:
-        msg = str(e).split("\n")[0][:160]
-        print(f"{name} {shape} axis={axis} {np.dtype(dtype).name}: "
-              f"FAIL {type(e).__name__}: {msg}")
-        return False
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(idx), jnp.asarray(table).reshape(NB, 128))
+    out = np.asarray(jax.block_until_ready(out))
+    ok = np.array_equal(out, want)
+    print(f"lut-gather kernel construction: exact={ok} "
+          f"(backend={jax.default_backend()})")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    print("backend:", jax.default_backend(), jax.devices())
-    ok = False
-    ok |= run("lane", (256, 128), 1)            # 128-entry lane shuffle f32
-    ok |= run("lane", (8, 128), 1)
-    ok |= run("lane", (256, 256), 1)            # 256 lanes (2 tiles)?
-    ok |= run("sublane", (8, 128), 0)
-    ok |= run("sublane", (16, 128), 0)          # 16 sublanes (2 tiles)?
-    ok |= run("lane-i32", (256, 128), 1, np.int32)
-    sys.exit(0 if ok else 1)
+    sys.exit(main())
