@@ -388,7 +388,11 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
         attn = attn.reshape(B, nw, heads, n, n) \
             + blk["mask_int"][None, :, None]
         attn = attn.reshape(-1, heads, n, n)
-    probs = _softmax_int(cfg, blk, attn.astype(jnp.int32), pallas=False)
+    # allow_lut only for unshifted blocks: the additive shift mask pushes
+    # scores below the int8 LUT domain (the fused kernel handles masked
+    # positions via the freeze-verified saturation constant instead)
+    probs = _softmax_int(cfg, blk, attn.astype(jnp.int32), pallas=False,
+                         allow_lut=(shift == 0))
     ctx = jax.lax.dot_general(
         probs.astype(jnp.int8), v_, (((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.int32)        # [B*nW, nH, n, hd]

@@ -209,11 +209,58 @@ def _ln_requant(y_int, s_pre, m, bits):
     return _requant(y_int, m, bits)
 
 
-def _softmax_int(cfg, blk, scores_int, pallas=None):
-    """int container scores -> int container probs."""
+def _xla_lut_on(cfg) -> bool:
+    """LUT nonlinearities on the unfused XLA path (jnp.take).
+
+    Bit-identical to the towers (the tables ARE the towers' outputs,
+    engine/luts.py); ``IVIT_XLA_LUT=0`` forces the tower forms for A/Bs."""
+    import os
+    return (getattr(cfg, "use_lut", False) and pblk._lut_on()
+            and os.environ.get("IVIT_XLA_LUT", "1") not in ("", "0"))
+
+
+def _softmax_int_lut(cfg, blk, scores_int):
+    """LUT softmax on the unfused path — engine/vit_int._softmax_int
+    bit-for-bit with the exp tower replaced by one table take."""
     base = cfg.base_type("softmax")
     bit = cfg.bitwidths.softmax
     ct = _container(bit)
+    lut = blk["sm_lut"]
+    sf = _f32(scores_int)
+    x_max = jnp.max(sf, axis=-1, keepdims=True)
+    idx = jnp.clip(x_max - sf, 0.0, lut.shape[0] - 1.0).astype(jnp.int32)
+    exp = jnp.take(lut, idx)
+    if base == "ivit":
+        if cfg.sm_sum_i32:
+            exp_sum = jnp.sum(exp.astype(jnp.int32), axis=-1,
+                              keepdims=True).astype(jnp.float32)
+        else:
+            exp_sum = jnp.minimum(exact_int_sum(exp), 2.0**31 - 1)
+        factor = jnp.floor(rdiv(2.0**31 - 1, exp_sum))
+        return jnp.floor(exp * factor / 2 ** (31 - bit + 1)).astype(ct)
+    if base == "ibert":
+        exp_sum = jnp.sum(exp.astype(jnp.int32), axis=-1,
+                          keepdims=True).astype(jnp.float32)
+        factor = jnp.floor(rdiv(2.0**32, exp_sum))
+        return jnp.floor(exp * factor / 2 ** (32 - bit + 1)).astype(ct)
+    # ppoly: folded exp grid; plain f32 sum + >=1 clamp (engine semantics)
+    exp_sum = jnp.clip(jnp.sum(exp, axis=-1, keepdims=True), 1.0, None)
+    factor = jnp.floor(rdiv(2.0**32, exp_sum))
+    return jnp.floor(exp * factor / 2 ** (32 - bit + 1)).astype(ct)
+
+
+def _softmax_int(cfg, blk, scores_int, pallas=None, allow_lut=True):
+    """int container scores -> int container probs.
+
+    ``allow_lut=False``: the caller's scores leave the int8 LUT domain
+    (Swin's additive shift mask) — keep the tower forms there.
+    """
+    base = cfg.base_type("softmax")
+    bit = cfg.bitwidths.softmax
+    ct = _container(bit)
+    if (allow_lut and base in ("ivit", "ibert", "ppoly") and "sm_lut" in blk
+            and not _use_pallas(pallas) and _xla_lut_on(cfg)):
+        return _softmax_int_lut(cfg, blk, scores_int)
     if base == "ivit":
         if _use_pallas(pallas):
             return pk.shiftmax_p(scores_int.astype(jnp.int8),
@@ -267,8 +314,39 @@ def _gelu_requant_int(cfg, blk, x_int, out_bits, pallas=None):
     return _requant(y, blk["m_gelu"], out_bits)
 
 
+def _gelu_int_lut(cfg, blk, x_int):
+    """LUT GELU on the unfused path (jnp.take; values == the towers).
+
+    ivit: exp from the table, ``exp(-max)`` tower per row, then the
+    reference sigmoid chain (the per-element divide stays — the fused
+    kernel's per-row sigmoid table is the full optimization).
+    """
+    base = cfg.base_type("gelu")
+    lut = blk["gelu_lut"]
+    if base == "ivit":
+        x_max = jnp.max(x_int, axis=-1, keepdims=True)
+        idx = jnp.clip(x_max - x_int, 0.0, lut.shape[0] - 1.0)
+        exp_int = jnp.take(lut, idx.astype(jnp.int32))
+        s_sig = blk["s_gelu"] * 1.702
+        exp_max, _ = ivit_ops.int_exp_shift(-x_max, s_sig, n=23,
+                                            fast_q=cfg.fast_exp)
+        exp_sum = jnp.minimum(exp_int + exp_max, 2.0**31 - 1)
+        factor = jnp.floor(rdiv(2.0**31 - 1, exp_sum))
+        sigmoid_int = jnp.floor(exp_int * factor / 2 ** (31 - 8 + 1))
+        return x_int * sigmoid_int
+    if base == "ibert":
+        idx = jnp.clip(x_int + 128.0, 0.0, lut.shape[0] - 1.0)
+        return x_int * jnp.take(lut, idx.astype(jnp.int32))
+    # ppoly: fully folded table
+    idx = jnp.clip(x_int + 128.0, 0.0, lut.shape[0] - 1.0)
+    return jnp.take(lut, idx.astype(jnp.int32))
+
+
 def _gelu_int(cfg, blk, x_int):
     base = cfg.base_type("gelu")
+    if (base in ("ivit", "ibert", "ppoly") and "gelu_lut" in blk
+            and _xla_lut_on(cfg)):
+        return _gelu_int_lut(cfg, blk, x_int)
     if base == "ivit":
         y_int, _ = ivit_ops.shift_gelu_int(x_int, blk["s_gelu"], 8,
                                            fast_q=cfg.fast_exp)

@@ -25,9 +25,13 @@ def main():
     ap.add_argument("--families", default="ibert")
     ap.add_argument("--requests", type=int, default=2048)
     ap.add_argument("--batches", default="1,8,32,64")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

@@ -19,15 +19,28 @@ LOG=runs/tpu_session_r4.log
 note() { echo "$(date -Is) $*" | tee -a "$LOG"; }
 FAILED=""
 
+wait_alive() {  # block until the tunnel answers (killed compiles wedge it
+                # for tens of minutes — runs/tpu_probe_r4.log history)
+    for i in $(seq 1 30); do
+        timeout 150 python -c "
+import jax, jax.numpy as jnp
+(jnp.ones((128,128)) @ jnp.ones((128,128))).block_until_ready()" \
+            > /dev/null 2>&1 && return 0
+        note "wait_alive: tunnel dead (try $i); sleeping 90"
+        sleep 90
+    done
+    return 1
+}
+
 run_step() {  # name timeout_s cmd...
     local name=$1 to=$2; shift 2
     for attempt in 1 2; do
         note "START $name (attempt $attempt)"
-        timeout "$to" "$@" >> "$LOG" 2>&1
+        timeout -k 10 "$to" "$@" >> "$LOG" 2>&1
         rc=$?
         note "END $name rc=$rc"
         [ $rc -eq 0 ] && return 0
-        sleep 20
+        wait_alive || note "wait_alive exhausted; pressing on"
     done
     FAILED="$FAILED $name"
     return 1
