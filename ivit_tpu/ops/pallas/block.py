@@ -799,6 +799,12 @@ def _attn_img_tile(img_tile: int, b: int, np_: int, c: int, num_heads: int,
     """
     lanes = -(-np_ // 128) * 128
     s_planes = 1.5 if sm_base == "ibert" else 3.3
+    env = os.environ.get("IVIT_ATTN_SPLANES")
+    if env:
+        # hardware-sweep override (kernel_microbench): the LUT softmax keeps
+        # fewer live planes than the towers; re-calibrate on real compiles
+        # before changing the default constant
+        s_planes = float(env)
     per_img = np_ * (3 * c) * 4 * 1.5 + num_heads * np_ * lanes * 4 * s_planes
     cap = max(1, int(_VMEM_BUDGET * 7 / 8 / per_img))
     return max(1, min(img_tile, cap, b))
