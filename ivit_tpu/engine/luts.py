@@ -37,9 +37,15 @@ LUT_SIZE = 256
 def _on_cpu():
     """Evaluate table builders on host CPU (the tower functions are
     compilation-context-stable, so CPU values == TPU sim values bit-for-bit;
-    building on CPU avoids ~50 eager dispatches through the TPU tunnel)."""
+    building on CPU avoids ~50 eager dispatches through the TPU tunnel).
+
+    ``local_devices``, not ``devices``: under ``jax.distributed`` the global
+    device list leads with process 0's devices, and pinning another
+    process's (non-addressable) device as default would make every eager
+    table op a cross-process transfer (r4: wedged the multihost demo's
+    shutdown barrier)."""
     try:
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         yield
         return

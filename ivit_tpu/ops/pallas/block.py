@@ -239,7 +239,7 @@ def _head_pack(num_heads: int, dh: int) -> int:
 
 
 def _score_dots(qkv, scores_ref, row0, band0, n, c, dh, num_heads, pack,
-                ptype):
+                ptype, pad_kv=True):
     """Score dots for one image/window: ``pack`` heads per MXU dot.
 
     ``qkv`` rows ``row0:row0+n`` hold this image's tokens; q/k for heads
@@ -262,7 +262,7 @@ def _score_dots(qkv, scores_ref, row0, band0, n, c, dh, num_heads, pack,
         p = min(pack, num_heads - h0)
         q_p = qkv[rows, h0 * dh:(h0 + p) * dh]
         k_p = qkv[rows, c + h0 * dh:c + (h0 + p) * dh]
-        if l_pad != n:
+        if l_pad != n and pad_kv:
             k_p = jnp.pad(k_p, ((0, l_pad - n), (0, 0)))
         if p > 1:
             ri = jax.lax.broadcasted_iota(jnp.int32, (p * n, p * dh), 0)
@@ -271,12 +271,18 @@ def _score_dots(qkv, scores_ref, row0, band0, n, c, dh, num_heads, pack,
                             jnp.zeros((), q_p.dtype))
         s = jax.lax.dot_general(q_p, k_p, (((1,), (1,)), ((), ())),
                                 preferred_element_type=ptype)
-        scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :] = \
-            s.astype(jnp.float32)
+        if l_pad != n and not pad_kv:
+            # partial-lane store; the pad lanes stay unwritten and every
+            # consumer masks them (see _softmax_lut / n_valid handling)
+            scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :n] = \
+                s.astype(jnp.float32)
+        else:
+            scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :] = \
+                s.astype(jnp.float32)
 
 
 def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
-              pack, sm_bit, mxu):
+              pack, sm_bit, mxu, pad_kv=True):
     """Ctx dots for one image/window: ``pack`` heads per MXU dot.
 
     The probs band ``[p*n, n]`` is already head-stacked in the scratch; one
@@ -293,11 +299,13 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
     for h0 in range(0, num_heads, pack):
         p = min(pack, num_heads - h0)
         v_p = qkv[rows, 2 * c + h0 * dh:2 * c + (h0 + p) * dh]
-        if l_pad != n:
+        probs = scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :]
+        if l_pad != n and pad_kv:
             # probs pad columns are exact zeros (softmax masks them), so
             # zero-row-padded v contributes exactly 0 to the contraction
             v_p = jnp.pad(v_p, ((0, l_pad - n), (0, 0)))
-        probs = scores_ref[band0 + h0 * n:band0 + (h0 + p) * n, :]
+        elif l_pad != n:
+            probs = probs[:, :n]
         ctx = _ctx_dot(probs, v_p, sm_bit, mxu)              # [p*n, p*dh]
         if p == 1:
             ctx_ref[rows, h0 * dh:(h0 + 1) * dh] = ctx.astype(jnp.float32)
@@ -305,6 +313,18 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
             for i in range(p):
                 ctx_ref[rows, (h0 + i) * dh:(h0 + i + 1) * dh] = ctx[
                     i * n:(i + 1) * n, i * dh:(i + 1) * dh].astype(jnp.float32)
+
+
+def _pad_kv(flag):
+    """k/v zero-row padding vs partial-lane stores for the widened scores
+    scratch (both bit-identical; compile behavior differs per geometry —
+    the Swin stage-96 shape crashes the Mosaic compiler under pad
+    [r4 geometry check], so Swin defaults to partial stores).
+    ``IVIT_PAD_KV`` overrides for A/Bs."""
+    env = os.environ.get("IVIT_PAD_KV")
+    if env is not None:
+        return env not in ("", "0")
+    return True if flag is None else bool(flag)
 
 
 def _lut_on() -> bool:
@@ -863,7 +883,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
                  fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16,
-                 sm_lut=False, sm_sum_i32=False):
+                 sm_lut=False, sm_sum_i32=False, pad_kv=True):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -923,7 +943,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     else:
         for ti in range(t):
             _score_dots(qkv, scores_ref, ti * np_, ti * num_heads * np_,
-                        np_, c, dh, num_heads, pack, ptype)
+                        np_, c, dh, num_heads, pack, ptype, pad_kv)
 
     lim_a = 2.0 ** (attn_bits - 1)
     scores = jnp.clip(jnp.round(scores_ref[...] * m_attn), -lim_a, lim_a - 1)
@@ -956,7 +976,7 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         for ti in range(t):
             _ctx_dots(qkv, scores_ref, ctx_ref, ti * np_,
                       ti * num_heads * np_, np_, c, dh, num_heads, pack,
-                      sm_bit, mxu)
+                      sm_bit, mxu, pad_kv)
         ctx_ref[...] = _requant(ctx_ref[...], m_av, 8)
 
     if "projgemm" in ablate:
@@ -988,7 +1008,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
                  sm_lut=None, sm_sum_i32: bool = False,
                  img_tile: int = 2, interpret: bool = False, ablate="",
-                 mxu: str | None = None):
+                 mxu: str | None = None, pad_kv: bool | None = None):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
@@ -1030,7 +1050,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu,
                               pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
-                              sm_sum_i32=sm_sum_i32),
+                              sm_sum_i32=sm_sum_i32, pad_kv=_pad_kv(pad_kv)),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
@@ -1097,7 +1117,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
                       fast_exp, fast_poly, mxu, n_valid, ablate="",
                       pp_seg=0, pp_deg=0, pp_exp_bits=16,
-                      sm_lut=False, sm_sum_i32=False):
+                      sm_lut=False, sm_sum_i32=False, pad_kv=True):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -1153,7 +1173,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     else:
         for w in range(wt):
             _score_dots(qkv, scores_ref, w * n, w * num_heads * n,
-                        n, c, hd, num_heads, pack, ptype)
+                        n, c, hd, num_heads, pack, ptype, pad_kv)
         s = jnp.clip(jnp.round(scores_ref[...] * m_attn), -128.0, 127.0)
         a = jnp.clip(jnp.round(s * m_attn2) + rel_ref[...], -128.0, 127.0)
         if mask_per_win:
@@ -1192,7 +1212,7 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
         # wt*H tiny [n, hd] VPU op rounds)
         for w in range(wt):
             _ctx_dots(qkv, scores_ref, ctx_ref, w * n, w * num_heads * n,
-                      n, c, hd, num_heads, pack, sm_bit, mxu)
+                      n, c, hd, num_heads, pack, sm_bit, mxu, pad_kv)
         ctx_ref[...] = _requant(ctx_ref[...], m_av, 8)
 
     if bf16:
@@ -1226,7 +1246,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       sm_lut=None, sm_sum_i32: bool = False, sm_sat=None,
                       win_tile: int = 8,
                       interpret: bool = False, mxu: str | None = None,
-                      ablate: str = ""):
+                      ablate: str = "", pad_kv: bool | None = None):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
     ``xw``: int16 [B*nW, n, C] — the PRE-norm stage activations, already
@@ -1334,7 +1354,9 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                               mxu=mxu, n_valid=n_valid, ablate=ablate,
                               pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
-                              sm_sum_i32=sm_sum_i32),
+                              sm_sum_i32=sm_sum_i32,
+                              pad_kv=_pad_kv(False if pad_kv is None
+                                             else pad_kv)),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,

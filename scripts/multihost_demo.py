@@ -97,6 +97,14 @@ def worker(args):
     jax.distributed.initialize(args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    # Force the gloo collective context up FRONT: its internal rank-address
+    # exchange has a fixed 30s deadline, and the first collective otherwise
+    # happens only after the per-worker model build/compiles — on a loaded
+    # 4-core host the build skew exceeded the deadline (r4: GetKeyValue
+    # timed out with key cpu:gloo/...).  A barrier here costs nothing and
+    # removes the skew window.
+    from jax.experimental import multihost_utils as _mh
+    _mh.sync_global_devices("gloo context init")
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
