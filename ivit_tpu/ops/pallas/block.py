@@ -317,14 +317,17 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
 
 def _pad_kv(flag):
     """k/v zero-row padding vs partial-lane stores for the widened scores
-    scratch (both bit-identical; compile behavior differs per geometry —
-    the Swin stage-96 shape crashes the Mosaic compiler under pad
-    [r4 geometry check], so Swin defaults to partial stores).
-    ``IVIT_PAD_KV`` overrides for A/Bs."""
+    scratch (both bit-identical).  Default: partial stores — in-kernel
+    ``jnp.pad`` lowers to ``tpu.concatenate``, which Mosaic rejects with
+    "result/input offset mismatch on non-concat dimension" whenever the
+    sliced operand's register layout has nonzero offsets (r4 hardware:
+    Swin stage-96 and the small-image ViT validate geometry; the 224px
+    ViT shapes merely got aligned by luck).  ``IVIT_PAD_KV=1`` re-enables
+    padding for A/Bs on geometries where it compiles."""
     env = os.environ.get("IVIT_PAD_KV")
     if env is not None:
         return env not in ("", "0")
-    return True if flag is None else bool(flag)
+    return False if flag is None else bool(flag)
 
 
 def _lut_on() -> bool:
