@@ -213,10 +213,14 @@ def _xla_lut_on(cfg) -> bool:
     """LUT nonlinearities on the unfused XLA path (jnp.take).
 
     Bit-identical to the towers (the tables ARE the towers' outputs,
-    engine/luts.py); ``IVIT_XLA_LUT=0`` forces the tower forms for A/Bs."""
+    engine/luts.py) but OFF by default: XLA:TPU lowers the 256-entry
+    ``jnp.take`` pathologically (measured 7,678 ms/batch vs 42.8 for the
+    towers on DeiT-T — runs/path_compare_tiny_r4.log), unlike Mosaic's
+    native lane gather in the fused kernels.  ``IVIT_XLA_LUT=1`` enables
+    for A/Bs."""
     import os
     return (getattr(cfg, "use_lut", False) and pblk._lut_on()
-            and os.environ.get("IVIT_XLA_LUT", "1") not in ("", "0"))
+            and os.environ.get("IVIT_XLA_LUT", "0") not in ("", "0"))
 
 
 def _softmax_int_lut(cfg, blk, scores_int):
