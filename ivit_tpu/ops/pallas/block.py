@@ -331,8 +331,17 @@ def _pad_kv(flag):
 
 
 def _lut_on() -> bool:
-    """Runtime kill-switch for the freeze-time LUT paths (A/B harness)."""
-    return os.environ.get("IVIT_LUT", "1") not in ("", "0")
+    """Freeze-time LUT paths: OFF by default after the r4 hardware A/B.
+
+    The tables are bit-identical to the towers (validated on TPU:
+    runs/val_tpu_r4.pkl, all five configs 0 bits), but Mosaic's
+    DynamicGatherOp costs more than the freeze-gated fast towers it
+    replaces: DeiT-S ibert fused dropped 7,146 -> 5,707 img/s (1.34x ->
+    1.09x bf16, BENCH_MATRIX r4 first pass), DeiT-T/Swin-T were neutral,
+    and the ViT-B LUT geometry crashed the compiler.  ``IVIT_LUT=1``
+    re-enables for A/Bs on future hardware/toolchains where gather is
+    cheaper."""
+    return os.environ.get("IVIT_LUT", "0") not in ("", "0")
 
 
 def _lut_banks(lut, r):

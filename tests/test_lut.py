@@ -51,11 +51,16 @@ def test_vit_lut_on_off_identical(rng, gelu, softmax, ln, monkeypatch):
     model, variables = build_calibrated(rng, gelu=gelu, softmax=softmax,
                                         ln=ln)
     spec = freeze_model(model, variables)
-    assert spec.config.use_lut, "LUTs must be active on this family config"
+    assert spec.config.use_lut, "LUTs must be built on this family config"
     assert "sm_lut" in spec.params["blocks"][0]
     assert "gelu_lut" in spec.params["blocks"][0]
+    # default OFF after the r4 hardware A/B (Mosaic gather slower than the
+    # gated towers — ops/pallas/block._lut_on); IVIT_LUT=1 opts in
+    monkeypatch.setenv("IVIT_LUT", "1")
     rep = fusion_report(spec.config, pallas=True)
     assert rep["lut_nonlinearities"]
+    monkeypatch.delenv("IVIT_LUT")
+    assert not fusion_report(spec.config, pallas=True)["lut_nonlinearities"]
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
     on, off = _forward_lut_ab(engine_forward, spec, x, monkeypatch)
     np.testing.assert_array_equal(on, off)
