@@ -240,6 +240,22 @@ def _block_luts(cfg, blk, sm_base, gelu_base, s_attn, s_gelu,
     return lut_ok, sum_ok
 
 
+def _require_fitted(qs: dict, site: str):
+    """ppoly tables must be host-fitted before freezing.
+
+    Until ``train.ppoly_fit.fit_ppoly_tables`` runs, the sim evaluates the
+    golden backend (the ``fitted`` flag gates it, models/layers.py) while a
+    freeze would bake the all-zero placeholder coefficients into the
+    engine — a silent sim/engine divergence (r4: the first ppoly bench
+    row shipped rel_err 1.29 this way).  Fail loudly instead.
+    """
+    if "fitted" in qs and float(_np(qs["fitted"]).reshape(-1)[0]) <= 0:
+        raise ValueError(
+            f"ppoly site {site!r} is not fitted; run "
+            "ivit_tpu.train.ppoly_fit.fit_ppoly_tables(model, variables) "
+            "after calibration, before freezing")
+
+
 def _act_scale(qs: dict, name: str, bits: int) -> np.float32:
     st = qs[name]
     return _sym_scale(bits, st["x_min"], st["x_max"]).reshape(-1)[0]
@@ -372,6 +388,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
             blk["s_exp_act"] = _act_scale(aq["int_softmax"], "act", 16)
         elif sm_base == "ppoly":
             smq = aq["int_softmax"]
+            _require_fitted(smq, f"blocks_{i}.attn.int_softmax")
             blk["sm_bounds"] = _np(smq["bounds"]).astype(np.int32)
             blk["sm_coeffs"] = _np(smq["coeffs"]).astype(np.float32)
         s_sm = (np.float32(2.0 / 2**sm_bit) if sm_base in ("ibert", "ppoly", "float")
@@ -410,6 +427,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
 
         if gelu_base == "ppoly":
             gq = mq["act"]
+            _require_fitted(gq, f"blocks_{i}.mlp.act")
             blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
             blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
 

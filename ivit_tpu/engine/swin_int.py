@@ -176,6 +176,9 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
                 blk["s_exp_act"] = _act_scale(aq["int_softmax"], "act", 16)
             elif sm_base == "ppoly":
                 smq = aq["int_softmax"]
+                from .freeze import _require_fitted
+                _require_fitted(smq, f"layers_{i_layer}_blocks_{d}.attn"
+                                     ".int_softmax")
                 blk["sm_bounds"] = _np(smq["bounds"]).astype(np.int32)
                 blk["sm_coeffs"] = _np(smq["coeffs"]).astype(np.float32)
             s_sm = (np.float32(2.0 / 2**8) if sm_base != "ivit"
@@ -208,6 +211,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             blk["s_gelu"] = np.float32(s_g)
             if cfg.base_type("gelu") == "ppoly":
                 gq = mq["act"]
+                from .freeze import _require_fitted
+                _require_fitted(gq, f"layers_{i_layer}_blocks_{d}.mlp.act")
                 blk["gelu_bounds"] = _np(gq["bounds"]).astype(np.int32)
                 blk["gelu_coeffs"] = _np(gq["coeffs"]).astype(np.float32)
             gelu_params = cfg.type_params("gelu")

@@ -145,6 +145,10 @@ def bench_config(cfg, batch, iters, sol=False):
             model, v, a, running_stat=True))(variables, x_cal)
     frozen = {"params": variables["params"],
               "quant_stats": st["quant_stats"]}
+    if any("ppoly" in cfg[k] for k in ("gelu", "softmax")):
+        # host-side piecewise-poly fit (freeze refuses unfitted tables)
+        from ivit_tpu.train.ppoly_fit import fit_ppoly_tables
+        frozen = fit_ppoly_tables(model, frozen)
 
     if is_swin:
         from ivit_tpu.engine.swin_int import (freeze_swin_model,

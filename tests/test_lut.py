@@ -50,6 +50,9 @@ def _forward_lut_ab(fwd, spec, x, monkeypatch):
 def test_vit_lut_on_off_identical(rng, gelu, softmax, ln, monkeypatch):
     model, variables = build_calibrated(rng, gelu=gelu, softmax=softmax,
                                         ln=ln)
+    if "ppoly" in (gelu, softmax):
+        from ivit_tpu.train.ppoly_fit import fit_ppoly_tables
+        variables = fit_ppoly_tables(model, variables)
     spec = freeze_model(model, variables)
     assert spec.config.use_lut, "LUTs must be built on this family config"
     assert "sm_lut" in spec.params["blocks"][0]
