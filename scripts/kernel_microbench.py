@@ -172,7 +172,11 @@ def main():
             table[site] = {"delta_us": round(d_us, 1),
                            "ops": site_ops,
                            "sol": round(site_ops / (d_us * 1e-6) / peak, 3)}
+            print(json.dumps({"site": site, **table[site]}), flush=True)
         # standalone XLA patch-embed and head GEMMs at site shapes
+        # (time_dispatch, not time_inloop: these change shape, so they
+        # cannot ride a scan carry)
+        from ivit_tpu.utils.benchmarking import time_dispatch
         ps = cfg.patch_size
         n_tok = cfg.num_patches
         xp = jnp.asarray(rng.integers(-100, 100, size=(
@@ -190,10 +194,12 @@ def main():
                     return acc.astype(jnp.float32)
                 return jnp.clip(jnp.round(acc.astype(jnp.float32) * m),
                                 -128, 127).astype(jnp.int8)
-            t = time_inloop(gemm, x0, n_iters=args.iters, n_timings=3)
+            gemm_j = jax.jit(gemm)
+            t = time_dispatch(gemm_j, x0, iters=max(10, args.iters))
             site_ops = 2 * x0.size * w.shape[-1]
             table[site] = {"us": round(t * 1e6, 1), "ops": site_ops,
                            "sol": round(site_ops / t / peak, 3)}
+            print(json.dumps({"site": site, **table[site]}), flush=True)
         print(json.dumps({"per_gemm_site_sol": table,
                           "peak_int8_tops": peak}), flush=True)
         results.append({"per_gemm_site_sol": table})
