@@ -569,21 +569,45 @@ def _mask_pad_lanes(y, c_valid):
     return jnp.where(lane < c_valid, y, 0.0)
 
 
-def _i_layernorm(x, bias_int, c_valid=None):
+def _i_layernorm(x, bias_int, c_valid=None, ablate=""):
     """ivit I-LayerNorm core on f32-held ints (ivit_modules.py:30-65).
 
     ``c_valid``: real channel count when ``x`` is lane-padded (see
-    :func:`_mask_pad_lanes`); ``None`` = all lanes real."""
+    :func:`_mask_pad_lanes`); ``None`` = all lanes real.  ``ablate``
+    stage-drop tokens (kernel_microbench diagnostics ONLY — NOT bit-exact):
+    ``ln_sums`` plain f32 reductions, ``ln_newton`` f32 sqrt,
+    ``ln_fdiv`` plain reciprocal multiplies for the rdivs."""
     # _rdiv mean, not jnp.mean: XLA/Mosaic strength-reduce divide-by-C into
     # a 1-ulp-sloppy reciprocal multiply, flipping round() ties vs the sim
     c = x.shape[-1] if c_valid is None else c_valid
-    mean = jnp.round(_rdiv(_int_sum(x), jnp.float32(c)))
+    if "ln_sums" in ablate:
+        s = jnp.sum(x, axis=-1, keepdims=True)
+    else:
+        s = _int_sum(x)
+    if "ln_fdiv" in ablate:
+        mean = jnp.round(s * (1.0 / jnp.float32(c)))
+    else:
+        mean = jnp.round(_rdiv(s, jnp.float32(c)))
     y = x - mean
     if c_valid is not None and c_valid != x.shape[-1]:
         y = _mask_pad_lanes(y, c_valid)
-    var = _sq_sum(y)
-    std = _newton_sqrt(var)
-    factor = jnp.floor(_rdiv(INT32_MAX, std))
+    if "ln_sums" in ablate:
+        var = jnp.sum(y * y, axis=-1, keepdims=True)
+    else:
+        var = _sq_sum(y)
+    if "ln_newton" in ablate:
+        std = jnp.maximum(jnp.floor(jnp.sqrt(var)), 1.0)
+    elif "ln_fdiv" in ablate:
+        k = jnp.full_like(var, 2.0**16)
+        for _ in range(10):
+            k = jnp.floor((k + jnp.floor(var * (1.0 / k))) * 0.5)
+        std = k
+    else:
+        std = _newton_sqrt(var)
+    if "ln_fdiv" in ablate:
+        factor = jnp.floor(INT32_MAX * (1.0 / std))
+    else:
+        factor = jnp.floor(_rdiv(INT32_MAX, std))
     return jnp.floor(y * factor * 0.5) + bias_int
 
 
@@ -646,10 +670,10 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     # ``ablate`` is a perf-diagnostic switch for scripts/kernel_microbench.py
     # ONLY (never set by the engine): it drops a stage to attribute kernel
     # time between the MXU GEMMs and the VPU nonlinearity chains.
-    if "ln" in ablate:
+    if "ln" in ablate and "ln_" not in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
-        y = _i_layernorm(x_in, lnb_ref[...], c_valid)
+        y = _i_layernorm(x_in, lnb_ref[...], c_valid, ablate)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift, c_valid)
@@ -909,10 +933,10 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     m_exp_act = sc_ref[6]
 
     # ``ablate``: perf-diagnostic stage dropping for kernel_microbench only
-    if "ln" in ablate:
+    if "ln" in ablate and "ln_" not in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
-        y = _i_layernorm(x_in, lnb_ref[...])
+        y = _i_layernorm(x_in, lnb_ref[...], ablate=ablate)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
     else:
         y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)

@@ -65,6 +65,15 @@ def main():
     result["raw_engine_b64_img_s"] = round(64 / t, 1)
     result["path_choice"] = eng.fusion.get("path_choice")
 
+    # NOTE (axon environment): every request's pixels cross the TPU tunnel
+    # (~tens of MB/s), so serving throughput here is HOST-TRANSFER-bound,
+    # not engine-bound — raw_engine_b64_img_s (device-resident input) is
+    # the engine's own capability.  On a co-located TPU host the PCIe link
+    # is ~3 orders of magnitude faster and the batcher, not the transfer,
+    # sets the ceiling.  Recorded as an environment note in the artifact.
+    result["transfer_note"] = (
+        "axon tunnel: per-request H2D pixel transfer bounds serving "
+        "throughput; raw_engine_b64_img_s uses device-resident input")
     imgs = rng.normal(size=(256, 224, 224, 3)).astype(np.float32)
     for bs in [int(b) for b in args.batches.split(",")]:
         with ServingEngine(spec, batch_size=bs, max_wait_ms=2.0,
@@ -72,13 +81,18 @@ def main():
             # warm (compile) outside the measured window
             srv.infer(imgs[:bs])
             srv.metrics = type(srv.metrics)()
+            # closed loop with bounded concurrency (2 batches in flight):
+            # latency then measures service time at sustainable load, not
+            # the queueing delay of an instantaneous 2k-request burst
+            from collections import deque
             t0 = time.perf_counter()
-            futs = []
+            outstanding: deque = deque()
             for i in range(args.requests):
-                futs.append(srv.submit(imgs[i % len(imgs)]))
-                # open-loop offered load: submit as fast as the host can
-            for f in futs:
-                f.result()
+                outstanding.append(srv.submit(imgs[i % len(imgs)]))
+                while len(outstanding) >= 2 * bs:
+                    outstanding.popleft().result()
+            while outstanding:
+                outstanding.popleft().result()
             wall = time.perf_counter() - t0
             snap = srv.metrics.summary()
         point = {"batch_size": bs, "wall_s": round(wall, 3),
