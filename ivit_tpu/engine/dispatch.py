@@ -29,19 +29,20 @@ from typing import Any, Dict, Tuple
 # without same-session bench+validate) — scripts/path_compare.py /
 # scripts/swin_path_compare.py regenerate them.
 MEASURED: Dict[Tuple[str, int], Dict[str, Any]] = {
-    # r3: fused 6,994 vs unfused 7,937 img/s (runs/path_compare_tiny_pack.log)
+    # r4: fused 7,014 vs unfused 7,969 img/s (runs/path_compare_tiny_r4b.log)
     ("vit", 192): {"fused": False,
-                   "evidence": "r3 runs/path_compare_tiny_pack.log "
-                               "(6,994 fused vs 7,937 unfused)"},
-    # r3: fused 4,780 vs unfused ~3,900 (runs/path_compare_small_ibert.log)
+                   "evidence": "r4 runs/path_compare_tiny_r4b.log "
+                               "(7,014 fused vs 7,969 unfused)"},
+    # r4: fused 7,053 vs unfused 4,884 (runs/path_compare_small_r4b.log)
     ("vit", 384): {"fused": True,
-                   "evidence": "r3 runs/path_compare_small_ibert.log"},
+                   "evidence": "r4 runs/path_compare_small_r4b.log "
+                               "(7,053 fused vs 4,884 unfused)"},
     # r3: ViT-B fused 1.162x bf16 (BENCH_MATRIX_r3.json vit_base row)
     ("vit", 768): {"fused": True, "evidence": "BENCH_MATRIX_r3.json vit_base"},
-    # r3: fused 1,529 vs unfused 1,563 img/s (runs/swin_path_compare_r3f.log)
+    # r4: fused 1,499 vs unfused 1,526 img/s (runs/swin_path_compare_r4b.log)
     ("swin", 96): {"fused": False,
-                   "evidence": "r3 runs/swin_path_compare_r3f.log "
-                               "(1,529 fused vs 1,563 unfused)"},
+                   "evidence": "r4 runs/swin_path_compare_r4b.log "
+                               "(1,499 fused vs 1,526 unfused)"},
 }
 
 
