@@ -108,13 +108,19 @@ def test_reference_checkpoint_roundtrip(tmp_path, types, rng):
     assert (logits_sim.argmax(-1) == logits_ref.argmax(-1)).all()
     scale = np.abs(logits_ref).max()
     rel = np.abs(logits_sim - logits_ref).max() / scale
-    assert rel < 0.2, rel
+    # measured r4: 0.105 (ivit) / 0.099 (ibert); 0.15 = measured + margin
+    assert rel < 0.15, rel
+    top5_sim = np.argsort(-logits_sim, -1)[:, :5]
+    top5_ref = np.argsort(-logits_ref, -1)[:, :5]
+    overlap = np.mean([len(set(a) & set(b)) / 5
+                       for a, b in zip(top5_sim, top5_ref)])
+    assert overlap >= 0.6, overlap   # measured r4: 0.85
 
     spec = tpu_freeze(model, variables)
     logits_eng = np.asarray(engine_forward(spec, x_nhwc, pallas=False))
     assert (logits_eng.argmax(-1) == logits_ref.argmax(-1)).all()
     rel = np.abs(logits_eng - logits_ref).max() / scale
-    assert rel < 0.2, rel
+    assert rel < 0.15, rel
 
 
 def _healthy_jax_init(variables, rng):
@@ -192,7 +198,7 @@ def test_export_strict_loads_into_reference(tmp_path, types, rng):
     # same floor-tie noise floor as test_reference_checkpoint_roundtrip
     # (+-1 int per nonlinearity compounding over 12 blocks); random-init
     # weights tie slightly more often than trained ones.
-    assert rel < 0.25, rel
+    assert rel < 0.2, rel
 
 
 def test_export_roundtrip(tmp_path, rng):
