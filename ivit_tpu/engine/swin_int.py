@@ -40,8 +40,9 @@ from .freeze import (EngineConfig, _act_scale, _linear, _ln_site, _np,
 from ..ops.pallas import block as pblk
 from ..ops.quant import exact_int_sum, rdiv
 from .vit_int import (_container, _dot_i8, _f32, _gelu_int, _gemm_bias,
-                      _int16_kernels_on, _layernorm_int, _ln_requant,
-                      _requant, _softmax_int, _use_pallas)
+                      _hoist_ln_on, _hoisted_ln8, _int16_kernels_on,
+                      _layernorm_int, _ln_requant, _requant, _softmax_int,
+                      _use_pallas)
 
 import dataclasses
 
@@ -496,8 +497,12 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 xw = jnp.roll(xw, (-shift, -shift), axis=(1, 2))
             xw = _window_partition_i(xw, ws)        # [B*nW, n, dim] i16
             nw = (res // ws) ** 2
+            ln1 = (_hoisted_ln8(cfg, xw, blk["ln1_bias_int"],
+                                blk["ln1_shift"], blk["s_ln1"], blk["m_ln1"])
+                   if _hoist_ln_on() else None)
             yo = pblk.swin_attn_block_p(
-                xw, ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
+                xw, ln_in=ln1,
+                ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
                 m_ln=blk["m_ln1"],
                 ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
                 qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
@@ -542,10 +547,19 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 return jnp.pad(a, (0, dpad)) if dpad else a
 
             xf = x.reshape(B * res * res, dim)
+            # hoisted LN runs on the UNPADDED channels (the sim's shapes);
+            # zero-padding the int8 result matches the in-kernel pad-lane
+            # values exactly (masked-to-0 center, zero-padded bias)
+            ln2 = (_hoisted_ln8(cfg, xf, blk["ln2_bias_int"],
+                                blk["ln2_shift"], blk["s_ln2"], blk["m_ln2"])
+                   if _hoist_ln_on() else None)
             if dpad:
                 xf = jnp.pad(xf, ((0, 0), (0, dpad)))
+                if ln2 is not None:
+                    ln2 = jnp.pad(ln2, ((0, 0), (0, dpad)))
             xf = pblk.mlp_block_p(
-                xf, ln_bias=_pc(blk["ln2_bias_int"]), s_ln=_pc(blk["s_ln2"]),
+                xf, ln_in=ln2,
+                ln_bias=_pc(blk["ln2_bias_int"]), s_ln=_pc(blk["s_ln2"]),
                 m_ln=_pc(blk["m_ln2"]),
                 ln_shift=blk["ln2_shift"],
                 fc1_w=(jnp.pad(blk["fc1_w"], ((0, dpad), (0, 0)))

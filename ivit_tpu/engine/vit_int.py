@@ -28,7 +28,7 @@ from ..ops import ivit as ivit_ops
 from ..ops.pallas import block as pblk
 from ..ops.pallas import nonlinear as pk
 from ..ops.ppoly import eval_piecewise_poly
-from ..ops.quant import exact_int_sum, exact_sq_sum, rdiv
+from ..ops.quant import exact_int_sum, exact_sq_sum, pack_rows, rdiv
 from .freeze import EngineSpec
 
 _DN = (((1,), (0,)), ((), ()))
@@ -209,6 +209,39 @@ def _ln_requant(y_int, s_pre, m, bits):
     return _requant(y_int, m, bits)
 
 
+def _hoist_ln_on() -> bool:
+    """LN hoisted out of the fused block kernels: ON by default.
+
+    The in-kernel per-row LayerNorm chains (mean round, Newton sqrt,
+    reciprocal factor) are LATENCY-bound — a serial f32 dependency chain
+    paid once per grid step, ~24-27% of the fused kernels' time on DeiT-T
+    (runs/ln_diag_tiny_r4.log); lane-packing inside the kernel does not
+    help (runs/probe_ln_pack_r4.log: packed == base to 0.2%).  Hoisting
+    computes LN + its requant with the unfused-engine functions in XLA —
+    one lane-packed chain for ALL rows of the model — and hands the int8
+    result to the kernel, which keeps reading ``x`` for the residual.
+    Bit-identical: the unfused LN is asserted equal to the in-kernel one
+    at full model size (tests/test_engine.py, scripts/tpu_validate.py).
+    Set IVIT_HOIST_LN=0 for the in-kernel chains (A/B harness).
+    """
+    import os
+    return os.environ.get("IVIT_HOIST_LN", "1") not in ("", "0")
+
+
+def _hoisted_ln8(cfg, x_int, bias_int, shift, s_ln, m_ln):
+    """XLA-side LN + requant producing the fused kernels' ``ln_in`` int8.
+
+    ibert LN on all-zero pad rows emits NaN (factor = 2**31/0); those rows
+    never reach a valid output (softmax pad-column masking), but the
+    NaN->int8 conversion is backend-defined, so pin it to 0 for a
+    deterministic cross-backend artifact.
+    """
+    y = _layernorm_int(cfg, x_int, bias_int, shift)
+    if cfg.base_type("ln") == "ibert":
+        y = jnp.where(jnp.isnan(y), 0.0, y)
+    return _ln_requant(y, s_ln, m_ln, 8).astype(jnp.int8)
+
+
 def _xla_lut_on(cfg) -> bool:
     """LUT nonlinearities on the unfused XLA path (jnp.take).
 
@@ -283,7 +316,7 @@ def _softmax_int(cfg, blk, scores_int, pallas=None, allow_lut=True):
                          -(2.0**15), 2.0**15 - 1)
         exp_sum = exact_int_sum(exp16)
         _tap("exp_sum", exp_sum, 1.0, 2.0**31 - 1)
-        factor = jnp.floor(rdiv(2.0**32, exp_sum))
+        factor = pack_rows(lambda s: jnp.floor(rdiv(2.0**32, s)), exp_sum)
         return jnp.floor(exp16 * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "ppoly":
         params = cfg.type_params("softmax")
@@ -296,7 +329,7 @@ def _softmax_int(cfg, blk, scores_int, pallas=None, allow_lut=True):
                                 blk["sm_coeffs"]), 0, None)
         exp_int = jnp.floor(exp_int / 2 ** (30 - exp_bits + 1))
         exp_sum = jnp.clip(jnp.sum(exp_int, axis=-1, keepdims=True), 1.0, None)
-        factor = jnp.floor(rdiv(2.0**32, exp_sum))
+        factor = pack_rows(lambda s: jnp.floor(rdiv(2.0**32, s)), exp_sum)
         return jnp.floor(exp_int * factor / 2 ** (32 - bit + 1)).astype(ct)
     if base == "float":
         probs = jax.nn.softmax(_f32(scores_int) * blk["s_attn"], axis=-1)
@@ -388,16 +421,19 @@ def _layernorm_int(cfg, x_int, bias_int, shift):
     if base == "ivit":
         # rdiv mean + factor, mirroring the sim's i_layernorm_int op-for-op
         # (ops/ivit.py) so sim and engine stay bit-identical in every
-        # compilation context
-        mean_int = jnp.round(rdiv(exact_int_sum(x_int),
-                                  jnp.float32(x_int.shape[-1])))
+        # compilation context.  pack_rows: per-row scalar chains run
+        # lane-packed (bit-identical relayout, see ops/quant.pack_rows).
+        mean_int = pack_rows(
+            lambda s: jnp.round(rdiv(s, jnp.float32(x_int.shape[-1]))),
+            exact_int_sum(x_int))
         y_int = x_int - mean_int
         # two-limb variance is exact iff C * (|y|/2**8)**2 < 2**31
         y_bound = 2.0**8 * (2.0**31 / x_int.shape[-1]) ** 0.5
         _tap("ln_centered", y_int, -y_bound, y_bound)
         var_int = exact_sq_sum(y_int)
-        std_int = ivit_ops.int_newton_sqrt(var_int)
-        factor = jnp.floor(rdiv(ivit_ops.INT32_MAX, std_int))
+        factor = pack_rows(
+            lambda v: jnp.floor(rdiv(ivit_ops.INT32_MAX,
+                                     ivit_ops.int_newton_sqrt(v))), var_int)
         return jnp.floor(y_int * factor / 2) + bias_int
     if base == "float":
         raise ValueError(
@@ -474,9 +510,13 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         if n_pad != N:
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         lut = cfg.use_lut
+        hoist = _hoist_ln_on()
         for blk in p["blocks"]:
+            ln1 = (_hoisted_ln8(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"],
+                                blk["s_ln1"], blk["m_ln1"]) if hoist else None)
             x = pblk.attn_block_p(
-                x, ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
+                x, ln_in=ln1,
+                ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
                 m_ln=blk["m_ln1"],
                 ln_shift=blk["ln1_shift"], qkv_w=blk["qkv_w"],
                 qkv_b=blk["qkv_b"], m_qkv=blk["m_qkv"],
@@ -495,8 +535,12 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 sm_lut=blk.get("sm_lut") if lut else None,
                 sm_sum_i32=cfg.sm_sum_i32)
             xf = x.reshape(B * n_pad, C)
+            ln2 = (_hoisted_ln8(cfg, xf, blk["ln2_bias_int"],
+                                blk["ln2_shift"], blk["s_ln2"], blk["m_ln2"])
+                   if hoist else None)
             xf = pblk.mlp_block_p(
-                xf, ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
+                xf, ln_in=ln2,
+                ln_bias=blk["ln2_bias_int"], s_ln=blk["s_ln2"],
                 m_ln=blk["m_ln2"],
                 ln_shift=blk["ln2_shift"], fc1_w=blk["fc1_w"],
                 fc1_b=blk["fc1_b"], m_fc1=blk["m_fc1"],

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .quant import (exact_fma, exact_int_sum, exact_sq_sum, floor_div_int,
-                    floor_ste, pow2, rdiv, round_ste)
+                    floor_ste, pack_rows, pow2, rdiv, round_ste)
 
 # --- GELU (int_erf) constants, ibert_modules.py:192-195 ---
 GELU_K = 1.4142
@@ -156,7 +156,9 @@ def ibert_softmax_exp(x, scaling_factor):
 def ibert_softmax_normalize(exp_int, output_bit: int, dtype=jnp.float32):
     """Second half of I-BERT softmax (ibert:312-319): 2**32 reciprocal trick."""
     exp_int_sum = exact_int_sum(exp_int)
-    factor = floor_ste(rdiv(2.0**32, exp_int_sum))
+    # pack_rows: per-row reciprocal chain, lane-packed (bit-identical
+    # relayout; see ops/quant.pack_rows)
+    factor = pack_rows(lambda s: floor_ste(rdiv(2.0**32, s)), exp_int_sum)
     out_int = floor_ste(exp_int * factor / 2 ** (32 - output_bit + 1))
     out_scale = jnp.asarray([2.0 / 2**output_bit], dtype=dtype)
     return out_int * out_scale, out_scale
@@ -188,8 +190,10 @@ def ibert_layernorm_int(x_int, weight, bias, shift,
 
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     # rdiv, not jnp.mean: XLA strength-reduces the mean's divide-by-C into a
-    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties
-    mean_int = round_ste(rdiv(exact_int_sum(x_int), jnp.float32(dim)))
+    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties.
+    # pack_rows: per-row scalar chain, lane-packed (bit-identical relayout)
+    mean_int = pack_rows(
+        lambda s: round_ste(rdiv(s, jnp.float32(dim))), exact_int_sum(x_int))
     y_int = x_int - mean_int
 
     def _var(s):
@@ -210,11 +214,13 @@ def ibert_layernorm_int(x_int, weight, bias, shift,
     else:
         new_shift = shift
 
-    if use_int_sqrt:
-        std_int = floor_ste(int_bitlength_sqrt(var_int)) * pow2(new_shift)
-    else:
-        std_int = floor_ste(jnp.sqrt(var_int)) * pow2(new_shift)
-    factor = floor_ste(rdiv(2.0**31, std_int))
+    def _factor(v):
+        if use_int_sqrt:
+            std = floor_ste(int_bitlength_sqrt(v)) * pow2(new_shift)
+        else:
+            std = floor_ste(jnp.sqrt(v)) * pow2(new_shift)
+        return floor_ste(rdiv(2.0**31, std))
+    factor = pack_rows(_factor, var_int)
     y_int = floor_ste(y_int * factor / 2)
     out_scale = dim_sqrt / 2.0**30
 

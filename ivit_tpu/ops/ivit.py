@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .quant import (exact_int_sum, exact_sq_sum, floor_div_int, floor_ste,
-                    pow2, rdiv, round_ste)
+                    pack_rows, pow2, rdiv, round_ste)
 
 INT32_MAX = 2.0**31 - 1
 
@@ -93,7 +93,7 @@ def shiftmax_int(x_int, scaling_factor, output_bit: int = 8, n_valid=None,
         exp_int = jnp.where(mask, exp_int, 0.0)
     exp_int_sum = jnp.minimum(exact_int_sum(exp_int), INT32_MAX)
 
-    factor = floor_ste(rdiv(INT32_MAX, exp_int_sum))
+    factor = pack_rows(lambda s: floor_ste(rdiv(INT32_MAX, s)), exp_int_sum)
     probs_int = floor_ste(exp_int * factor / 2 ** (31 - output_bit + 1))
     out_scale = jnp.asarray([1.0 / 2 ** (output_bit - 1)], dtype=jnp.float32)
     return probs_int, out_scale
@@ -150,14 +150,16 @@ def i_layernorm_int(x_int, weight, bias):
 
     x_int = round_ste(x_int)  # snap fake-quant float noise to the true int
     # rdiv, not jnp.mean: XLA strength-reduces the mean's divide-by-C into a
-    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties
-    mean_int = round_ste(rdiv(exact_int_sum(x_int), jnp.float32(dim)))
+    # 1-ulp-sloppy reciprocal multiply under jit, flipping round() ties.
+    # pack_rows: the mean round and the Newton+factor chain are per-row
+    # scalar chains — run them lane-packed (bit-identical relayout).
+    mean_int = pack_rows(
+        lambda s: round_ste(rdiv(s, jnp.float32(dim))), exact_int_sum(x_int))
     y_int = x_int - mean_int
     var_int = exact_sq_sum(y_int)
 
-    std_int = int_newton_sqrt(var_int)
-
-    factor = floor_ste(rdiv(INT32_MAX, std_int))
+    factor = pack_rows(
+        lambda v: floor_ste(rdiv(INT32_MAX, int_newton_sqrt(v))), var_int)
     y_int = floor_ste(y_int * factor / 2)
     out_scale = dim_sqrt / 2.0**30
 

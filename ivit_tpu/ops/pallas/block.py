@@ -653,11 +653,12 @@ def _shift_gelu(x, s_sig, output_bit=8, n=23, fast_q=False):
     return x * sigmoid_int
 
 
-def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
-                w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, glut_ref, o_ref, *,
+def _mlp_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref,
+                m1_ref, w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, glut_ref,
+                o_ref, *,
                 ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
                 mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate="",
-                c_valid=None, gelu_lut=False):
+                c_valid=None, gelu_lut=False, hoisted_ln=False):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -670,7 +671,16 @@ def _mlp_kernel(x_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref, m1_ref,
     # ``ablate`` is a perf-diagnostic switch for scripts/kernel_microbench.py
     # ONLY (never set by the engine): it drops a stage to attribute kernel
     # time between the MXU GEMMs and the VPU nonlinearity chains.
-    if "ln" in ablate and "ln_" not in ablate:
+    if hoisted_ln:
+        # LN + requant hoisted to XLA (engine _hoisted_ln8): the in-kernel
+        # per-row Newton/rdiv chains are latency-bound (serial dependency
+        # chain paid once per grid step — lane packing does NOT help, see
+        # runs/probe_ln_pack_r4.log); XLA runs ONE lane-packed chain for
+        # all rows of the model instead.  Bit-identical: the hoisted form
+        # is the unfused engine LN already asserted equal to the in-kernel
+        # one (tests/test_engine.py, test_pallas.py).
+        y = lnin_ref[...].astype(jnp.float32)
+    elif "ln" in ablate and "ln_" not in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...], c_valid, ablate)
@@ -750,7 +760,8 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 gelu_bounds=None, gelu_coeffs=None, gelu_s_out=None,
                 gelu_scale_bits: int = 22, gelu_lut=None,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
-                mxu: str | None = None, c_valid: int | None = None):
+                mxu: str | None = None, c_valid: int | None = None,
+                ln_in=None):
     """Fused MLP half-block; ``x_int`` int8/int16 [R, C] token stream.
 
     Wait-free residual: the kernel re-reads its own input tile for the
@@ -793,6 +804,13 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
     glut = (jnp.asarray(gelu_lut, jnp.float32).reshape(-1, 128)
             if use_glut else jnp.zeros((1, 128), jnp.float32))
 
+    hoist = ln_in is not None
+    if not hoist:
+        ln_in = jnp.zeros((1, c), jnp.int8)
+    lnin_spec = (pl.BlockSpec((tile, c), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM) if hoist
+                 else pl.BlockSpec((1, c), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -801,12 +819,14 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                               fast_exp=fast_exp, fast_poly=fast_poly,
                               mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_scale_bits=gelu_scale_bits, ablate=ablate,
-                              c_valid=c_valid, gelu_lut=use_glut),
+                              c_valid=c_valid, gelu_lut=use_glut,
+                              hoisted_ln=hoist),
             name="mlp_block_kernel",
             out_shape=jax.ShapeDtypeStruct((r, c), out_dtype),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                lnin_spec,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -824,7 +844,7 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interp,
-        )(x_int,
+        )(x_int, ln_in,
           ln_bias.astype(jnp.float32).reshape(1, c),
           s_ln.astype(jnp.float32).reshape(1, c),
           m_ln.astype(jnp.float32).reshape(1, c),
@@ -913,13 +933,14 @@ def _ibert_softmax(x, s, m_exp_act, output_bit, n_valid, fast_q=False,
     return jnp.floor(exp16 * factor * (2.0 ** -(32 - output_bit + 1)))
 
 
-def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
-                 mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref, pp_ref,
-                 smlut_ref, o_ref,
+def _attn_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref,
+                 bqkv_ref, mqkv_ref, wproj_ref, bproj_ref, mproj_ref, sc_ref,
+                 pp_ref, smlut_ref, o_ref,
                  ctx_ref, scores_ref, *, ln_base, sm_base, num_heads, ablate,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
                  fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16,
-                 sm_lut=False, sm_sum_i32=False, pad_kv=True):
+                 sm_lut=False, sm_sum_i32=False, pad_kv=True,
+                 hoisted_ln=False):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -933,7 +954,10 @@ def _attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     m_exp_act = sc_ref[6]
 
     # ``ablate``: perf-diagnostic stage dropping for kernel_microbench only
-    if "ln" in ablate and "ln_" not in ablate:
+    if hoisted_ln:
+        # LN + requant hoisted to XLA (see _mlp_kernel's hoisted_ln note)
+        y = lnin_ref[...].astype(jnp.float32).reshape(t * np_, c)
+    elif "ln" in ablate and "ln_" not in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
     elif ln_base == "ivit":
         y = _i_layernorm(x_in, lnb_ref[...], ablate=ablate)
@@ -1044,7 +1068,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
                  sm_lut=None, sm_sum_i32: bool = False,
                  img_tile: int = 2, interpret: bool = False, ablate="",
-                 mxu: str | None = None, pad_kv: bool | None = None):
+                 mxu: str | None = None, pad_kv: bool | None = None,
+                 ln_in=None):
     """Fused attention half-block on the padded token stream.
 
     ``x_int``: int8/int16 [B, Np, C] with Np a multiple of 8 (token padding;
@@ -1076,6 +1101,13 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
     smlut = (jnp.asarray(sm_lut, jnp.float32).reshape(-1, 128)
              if use_smlut else jnp.zeros((1, 128), jnp.float32))
     l_pad = -(-np_ // 128) * 128   # scratch lane width: LUT slab alignment
+    hoist = ln_in is not None
+    if not hoist:
+        ln_in = jnp.zeros((1, 1, c), jnp.int8)
+    lnin_spec = (pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM) if hoist
+                 else pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM))
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -1086,13 +1118,15 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu,
                               pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
-                              sm_sum_i32=sm_sum_i32, pad_kv=_pad_kv(pad_kv)),
+                              sm_sum_i32=sm_sum_i32, pad_kv=_pad_kv(pad_kv),
+                              hoisted_ln=hoist),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                lnin_spec,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1113,7 +1147,7 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                             pltpu.VMEM((t * num_heads * np_, l_pad),
                                        jnp.float32)],
             interpret=interp,
-        )(x_int,
+        )(x_int, ln_in,
           ln_bias.astype(jnp.float32).reshape(1, c),
           s_ln.astype(jnp.float32).reshape(1, c),
           m_ln.astype(jnp.float32).reshape(1, c),
@@ -1146,14 +1180,15 @@ def _swin_win_tile(win_tile: int, bw: int, n: int, c: int, num_heads: int,
     return 1
 
 
-def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
-                      mqkv_ref, rel_ref, mask_ref, wproj_ref, bproj_ref,
-                      mproj_ref, sc_ref, pp_ref, smlut_ref, o_ref, ctx_ref,
-                      scores_ref, *,
+def _swin_attn_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref,
+                      bqkv_ref, mqkv_ref, rel_ref, mask_ref, wproj_ref,
+                      bproj_ref, mproj_ref, sc_ref, pp_ref, smlut_ref, o_ref,
+                      ctx_ref, scores_ref, *,
                       ln_base, sm_base, num_heads, sm_bit, mask_per_win,
                       fast_exp, fast_poly, mxu, n_valid, ablate="",
                       pp_seg=0, pp_deg=0, pp_exp_bits=16,
-                      sm_lut=False, sm_sum_i32=False, pad_kv=True):
+                      sm_lut=False, sm_sum_i32=False, pad_kv=True,
+                      hoisted_ln=False):
     bf16 = mxu == "bf16"
     wt, n, c = x_ref.shape
     hd = c // num_heads
@@ -1167,13 +1202,16 @@ def _swin_attn_kernel(x_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref, bqkv_ref,
     pw_shift = sc_ref[6]
     m_exp_act = sc_ref[7]
 
-    if "ln" in ablate:
+    if hoisted_ln:
+        # LN + requant hoisted to XLA (see _mlp_kernel's hoisted_ln note)
+        y = lnin_ref[...].astype(jnp.float32).reshape(wt * n, c)
+    elif "ln" in ablate:
         y = jnp.clip(x_in, -128.0, 127.0)
-    elif ln_base == "ivit":
-        y = _i_layernorm(x_in, lnb_ref[...])
     else:
-        y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
-    if "ln" not in ablate:
+        if ln_base == "ivit":
+            y = _i_layernorm(x_in, lnb_ref[...])
+        else:
+            y = _ibert_layernorm(x_in, lnb_ref[...], pw_shift)
         y = _ln_requant(y, sln_ref[...], mln_ref[...], 8)
 
     if bf16:
@@ -1282,7 +1320,8 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                       sm_lut=None, sm_sum_i32: bool = False, sm_sat=None,
                       win_tile: int = 8,
                       interpret: bool = False, mxu: str | None = None,
-                      ablate: str = "", pad_kv: bool | None = None):
+                      ablate: str = "", pad_kv: bool | None = None,
+                      ln_in=None):
     """Fused Swin window-attention half-block (VERDICT round-1 item 3).
 
     ``xw``: int16 [B*nW, n, C] — the PRE-norm stage activations, already
@@ -1316,6 +1355,12 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
     n = -(-n_valid // 8) * 8
     if n != n_valid:
         xw = jnp.pad(xw, ((0, 0), (0, n - n_valid), (0, 0)))
+        if ln_in is not None:
+            # pad-row ln values never reach a valid output (softmax pad-
+            # column masking; pad outputs sliced below), so zero padding
+            # is bit-neutral even though the in-kernel LN emits requant(
+            # LN(0-row)) there
+            ln_in = jnp.pad(ln_in, ((0, 0), (0, n - n_valid), (0, 0)))
         rel_addend = jnp.pad(jnp.asarray(rel_addend, jnp.float32),
                              ((0, 0), (0, n - n_valid), (0, n - n_valid)))
         if mask_addend is not None:
@@ -1380,6 +1425,13 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                  and (not mask_per_win or sm_sat is not None))
     smlut = (jnp.asarray(sm_lut, jnp.float32).reshape(-1, 128)
              if use_smlut else jnp.zeros((1, 128), jnp.float32))
+    hoist = ln_in is not None
+    if not hoist:
+        ln_in = jnp.zeros((1, 1, c), jnp.int8)
+    lnin_spec = (pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM) if hoist
+                 else pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM))
     interp = _interp(interpret)
     with _kernel_trace(interp):
         out = pl.pallas_call(
@@ -1392,13 +1444,15 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
                               sm_sum_i32=sm_sum_i32,
                               pad_kv=_pad_kv(False if pad_kv is None
-                                             else pad_kv)),
+                                             else pad_kv),
+                              hoisted_ln=hoist),
             name="swin_attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((bw_, n, c), jnp.int16),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                lnin_spec,
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1424,7 +1478,7 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
                             pltpu.VMEM((wt * num_heads * n, l_pad),
                                        jnp.float32)],
             interpret=interp,
-        )(xw,
+        )(xw, ln_in,
           ln_bias.astype(jnp.float32).reshape(1, c),
           s_ln.astype(jnp.float32).reshape(1, c),
           m_ln.astype(jnp.float32).reshape(1, c),
