@@ -130,8 +130,16 @@ def _resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 def train_transform(img: np.ndarray, rng: np.random.Generator,
                     img_size: int = 224, hflip: float = 0.5,
                     color_jitter: float = 0.4,
-                    erase_prob: float = 0.25) -> np.ndarray:
-    """Random-resized-crop + flip + jitter + random-erase; returns f32 HWC."""
+                    erase_prob: float = 0.25,
+                    rand_augment=None) -> np.ndarray:
+    """Random-resized-crop + flip + RandAugment/jitter + random-erase.
+
+    Mirrors timm ``transforms_imagenet_train`` op order (the reference's
+    ``create_transform`` recipe, ``utils/data_utils.py:42-55``): RRC and
+    flip on uint8, then RandAugment (uint8 PIL ops) when configured —
+    which, like timm, disables color jitter — then normalize + erase.
+    Returns f32 HWC.
+    """
     h, w = img.shape[:2]
     # random resized crop: scale [0.08, 1], ratio [3/4, 4/3]
     for _ in range(10):
@@ -144,10 +152,14 @@ def train_transform(img: np.ndarray, rng: np.random.Generator,
             x0 = rng.integers(0, w - cw + 1)
             img = img[y0:y0 + ch, x0:x0 + cw]
             break
-    img = _resize(img, (img_size, img_size)).astype(np.float32) / 255.0
+    img = _resize(img, (img_size, img_size))
 
     if rng.random() < hflip:
         img = img[:, ::-1]
+    if rand_augment is not None:
+        img = rand_augment(np.ascontiguousarray(img), rng)
+        color_jitter = 0.0                    # timm: aa replaces jitter
+    img = img.astype(np.float32) / 255.0
     if color_jitter > 0:
         # brightness/contrast/saturation jitter
         img = img * rng.uniform(1 - color_jitter, 1 + color_jitter)
@@ -248,7 +260,7 @@ def repeated_aug_indices(n: int, rng: np.random.Generator,
 def data_loader(dataset: Dataset, batch_size: int, *, train: bool,
                 img_size: int = 224, seed: int = 0,
                 repeated_aug: bool = False, drop_last: Optional[bool] = None,
-                num_threads: int = 8) -> Iterator[dict]:
+                num_threads: int = 8, rand_augment=None) -> Iterator[dict]:
     """Threaded batch iterator yielding {'image': f32 NHWC, 'label': i32}.
 
     Replaces the torch DataLoader worker processes (ref data_utils.py:20-33)
@@ -273,7 +285,8 @@ def data_loader(dataset: Dataset, batch_size: int, *, train: bool,
             img, lab = dataset.get(int(i))
             if train:
                 r = np.random.default_rng(seed * 7919 + int(i) * 31 + bi)
-                imgs[j] = train_transform(img, r, img_size)
+                imgs[j] = train_transform(img, r, img_size,
+                                          rand_augment=rand_augment)
             else:
                 if img.shape[0] == img_size and img.shape[1] == img_size:
                     imgs[j] = ((img.astype(np.float32) / 255.0

@@ -69,6 +69,7 @@ class TrainConfig:
     mixup: float = 0.8
     cutmix: float = 1.0
     smoothing: float = 0.1
+    aa: Optional[str] = "rand-m9-mstd0.5-inc1"  # ref quant_train.py:117
     img_size: int = 224
     num_classes: int = 1000
 
@@ -172,6 +173,8 @@ class Trainer:
         self.tx, self.schedule, self.accum = build_optimizer(
             cfg, self.steps_per_epoch)
         self.rng = np.random.default_rng(cfg.seed)
+        from .randaug import parse_rand_augment
+        self.rand_augment = parse_rand_augment(cfg.aa)
 
         sample = jnp.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3),
                            jnp.float32)
@@ -253,7 +256,8 @@ class Trainer:
         cfg = self.cfg
         log.info("calibrating on %d batches", cfg.calibration_batches)
         it = data_loader(self.ds_train, cfg.batch_size, train=True,
-                         img_size=cfg.img_size, seed=cfg.seed + 999)
+                         img_size=cfg.img_size, seed=cfg.seed + 999,
+                         rand_augment=self.rand_augment)
         qs = self.state["quant_stats"]
         prev_scale = None
         for i, batch in enumerate(it):
@@ -288,7 +292,8 @@ class Trainer:
             self.steps_per_epoch,
             list(meters.values()), prefix=f"Epoch[{epoch}]")
         it = data_loader(self.ds_train, cfg.batch_size, train=True,
-                         img_size=cfg.img_size, seed=cfg.seed + epoch)
+                         img_size=cfg.img_size, seed=cfg.seed + epoch,
+                         rand_augment=self.rand_augment)
         t0 = time.time()
         for i, batch in enumerate(it):
             images, labels = batch["image"], batch["label"]

@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--repeated-aug", action="store_true")
+    p.add_argument("--aa", default="rand-m9-mstd0.5-inc1",
+                   help="RandAugment policy string (ref quant_train.py:117; "
+                        "'none' disables)")
     # quantization config (ref quant_train.py:151-170)
     p.add_argument("--bitwidth", default="8",
                    help="'8' or 8-value CSV: patch_embed,pos_enc,block_in,"
@@ -120,6 +123,7 @@ def main():
         calibration_batches=args.calibration_batches,
         calibration_epochs=args.calibration_epochs,
         mixup=args.mixup, cutmix=args.cutmix, smoothing=args.smoothing,
+        aa=args.aa,
         img_size=args.img_size, num_classes=args.num_classes or ncls,
         seed=args.seed, output_dir=args.output_dir, run_id=args.run_id,
         resume=args.resume, log_interval=args.log_interval,

@@ -162,3 +162,62 @@ def test_optimizer_decay_masks_applied(tmp_path):
             assert moved == 0.0, names
         elif names[-1] == "kernel":
             assert moved > 0.0, names
+
+
+def test_randaugment_timm_parity(rng):
+    """Op inventory + magnitude mapping vs timm auto_augment.py's table.
+
+    The expected values are timm's published level maps (the reference
+    trains through ``create_transform(auto_augment='rand-m9-mstd0.5-inc1')``,
+    ref utils/data_utils.py:42-55, quant_train.py:117); timm itself is not
+    in this image, so the table is transcribed, not imported.
+    """
+    from ivit_tpu.train import randaug as ra
+
+    # 1. op inventory == timm _RAND_TRANSFORMS (15 ops, same names)
+    names = [n for n, _ in ra.RAND_TRANSFORMS]
+    assert names == [
+        "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize",
+        "Solarize", "SolarizeAdd", "Color", "Contrast", "Brightness",
+        "Sharpness", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel"]
+
+    # 2. magnitude -> argument mapping at M=9 (timm LEVEL_TO_ARG)
+    r = np.random.default_rng(0)
+    assert ra._enhance_level(9, r) == pytest.approx(9 / 10 * 1.8 + 0.1)
+    assert abs(ra._shear_level(9, r)) == pytest.approx(0.9 * 0.3)
+    assert abs(ra._translate_rel_level(9, r)) == pytest.approx(0.9 * 0.45)
+    assert abs(ra._rotate_level(9, r)) == pytest.approx(0.9 * 30)
+    assert ra._posterize_level(9, r) == int(9 / 10 * 4)          # 3 bits
+    assert ra._solarize_level(9, r) == int(9 / 10 * 256)         # 230
+    assert ra._solarize_add_level(9, r) == int(9 / 10 * 110)     # 99
+    # increasing flavor (the reference default's -inc1)
+    assert abs(ra._enhance_level(9, r, inc=True) - 1.0) == \
+        pytest.approx(0.9 * 0.9)
+    assert ra._posterize_level(9, r, inc=True) == 4 - 3          # 1 bit
+    assert ra._solarize_level(9, r, inc=True) == 256 - 230
+
+    # 3. config-string grammar (timm rand_augment_transform)
+    pol = ra.parse_rand_augment("rand-m9-mstd0.5-inc1")
+    assert (pol.magnitude, pol.mstd, pol.num_layers, pol.prob,
+            pol.increasing) == (9.0, 0.5, 2, 0.5, True)
+    assert ra.parse_rand_augment("none") is None
+
+    # 4. magnitude sampling: gauss(M, mstd) clamped to [0, 10]
+    levels = [pol._sample_level(np.random.default_rng(s)) for s in range(200)]
+    assert all(0.0 <= l <= 10.0 for l in levels)
+    assert 8.0 < np.mean(levels) < 10.0
+
+    # 5. every op runs and preserves shape/dtype on uint8 HWC
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    from PIL import Image
+    for name, fn in ra.RAND_TRANSFORMS:
+        for inc in (False, True):
+            out = fn(Image.fromarray(img), 9.0, ra.IMAGENET_FILL,
+                     np.random.default_rng(1), inc=inc)
+            arr = np.asarray(out)
+            assert arr.shape == img.shape and arr.dtype == np.uint8, name
+
+    # 6. wired into train_transform (jitter off when aa active, like timm)
+    t = train_transform(img, np.random.default_rng(2), img_size=64,
+                        rand_augment=pol)
+    assert t.shape == (64, 64, 3) and t.dtype == np.float32
