@@ -499,7 +499,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
             nw = (res // ws) ** 2
             ln1 = (_hoisted_ln8(cfg, xw, blk["ln1_bias_int"],
                                 blk["ln1_shift"], blk["s_ln1"], blk["m_ln1"])
-                   if _hoist_ln_on() else None)
+                   if _hoist_ln_on(cfg.base_type("ln")) else None)
             yo = pblk.swin_attn_block_p(
                 xw, ln_in=ln1,
                 ln_bias=blk["ln1_bias_int"], s_ln=blk["s_ln1"],
@@ -552,7 +552,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
             # values exactly (masked-to-0 center, zero-padded bias)
             ln2 = (_hoisted_ln8(cfg, xf, blk["ln2_bias_int"],
                                 blk["ln2_shift"], blk["s_ln2"], blk["m_ln2"])
-                   if _hoist_ln_on() else None)
+                   if _hoist_ln_on(cfg.base_type("ln")) else None)
             if dpad:
                 xf = jnp.pad(xf, ((0, 0), (0, dpad)))
                 if ln2 is not None:

@@ -209,23 +209,34 @@ def _ln_requant(y_int, s_pre, m, bits):
     return _requant(y_int, m, bits)
 
 
-def _hoist_ln_on() -> bool:
-    """LN hoisted out of the fused block kernels: ON by default.
+def _hoist_ln_on(ln_base: str = "ivit") -> bool:
+    """LN hoisted out of the fused block kernels: ON for ivit LN only.
 
-    The in-kernel per-row LayerNorm chains (mean round, Newton sqrt,
-    reciprocal factor) are LATENCY-bound — a serial f32 dependency chain
-    paid once per grid step, ~24-27% of the fused kernels' time on DeiT-T
-    (runs/ln_diag_tiny_r4.log); lane-packing inside the kernel does not
-    help (runs/probe_ln_pack_r4.log: packed == base to 0.2%).  Hoisting
+    The ivit in-kernel per-row LayerNorm chain (mean round, 10-iter Newton
+    sqrt, reciprocal factor) is LATENCY-bound — a serial f32 dependency
+    chain paid once per grid step, ~24-27% of the fused kernels' time on
+    DeiT-T (runs/ln_diag_tiny_r4.log); lane-packing inside the kernel does
+    not help (runs/probe_ln_pack_r5.log: packed == base).  Hoisting
     computes LN + its requant with the unfused-engine functions in XLA —
     one lane-packed chain for ALL rows of the model — and hands the int8
     result to the kernel, which keeps reading ``x`` for the residual.
-    Bit-identical: the unfused LN is asserted equal to the in-kernel one
-    at full model size (tests/test_engine.py, scripts/tpu_validate.py).
-    Set IVIT_HOIST_LN=0 for the in-kernel chains (A/B harness).
+
+    The ibert LN core is a single f32 sqrt (no Newton chain), so hoisting
+    buys nothing and *costs* the extra HBM round trip of the ln_in tensor:
+    the r4 hoist-everywhere default was the round's 3% headline regression
+    (DeiT-S ibert 6,933 hoisted vs 7,177 in-kernel img/s,
+    runs/headline_ab_r5.log).  Default: hoist iff ``ln_base == 'ivit'``.
+
+    Bit-identical either way: the unfused LN is asserted equal to the
+    in-kernel one at full model size (tests/test_pallas.py parametrizes
+    IVIT_HOIST_LN over {0,1}; scripts/tpu_validate.py dumps both).
+    ``IVIT_HOIST_LN`` overrides for A/Bs.
     """
     import os
-    return os.environ.get("IVIT_HOIST_LN", "1") not in ("", "0")
+    env = os.environ.get("IVIT_HOIST_LN")
+    if env is not None:
+        return env not in ("", "0")
+    return ln_base == "ivit"
 
 
 def _hoisted_ln8(cfg, x_int, bias_int, shift, s_ln, m_ln):
@@ -510,7 +521,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
         if n_pad != N:
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         lut = cfg.use_lut
-        hoist = _hoist_ln_on()
+        hoist = _hoist_ln_on(ln_base)
         for blk in p["blocks"]:
             ln1 = (_hoisted_ln8(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"],
                                 blk["s_ln1"], blk["m_ln1"]) if hoist else None)

@@ -315,19 +315,28 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
                     i * n:(i + 1) * n, i * dh:(i + 1) * dh].astype(jnp.float32)
 
 
-def _pad_kv(flag):
+def _pad_kv(flag, np_=0, c=0, dh=0):
     """k/v zero-row padding vs partial-lane stores for the widened scores
-    scratch (both bit-identical).  Default: partial stores — in-kernel
-    ``jnp.pad`` lowers to ``tpu.concatenate``, which Mosaic rejects with
-    "result/input offset mismatch on non-concat dimension" whenever the
-    sliced operand's register layout has nonzero offsets (r4 hardware:
-    Swin stage-96 and the small-image ViT validate geometry; the 224px
-    ViT shapes merely got aligned by luck).  ``IVIT_PAD_KV=1`` re-enables
-    padding for A/Bs on geometries where it compiles."""
+    scratch (both bit-identical; compile behavior AND speed differ per
+    geometry).
+
+    In-kernel ``jnp.pad`` lowers to ``tpu.concatenate``, which Mosaic
+    rejects with "result/input offset mismatch on non-concat dimension"
+    whenever the sliced k/v operand's register layout has nonzero lane
+    offsets (r4 hardware: Swin stage-96 and the small-image C=192 ViT
+    validate geometry).  But where it compiles, padding beats the
+    partial-lane stores: the r4 partial-store default cost the DeiT-S
+    fused path ~2% (7,177 pad=0 vs 7,301 pad=1 img/s at hoist=0,
+    runs/headline_ab_r5.log).  Default: pad on geometries whose k/v head
+    slices are lane-aligned and hardware-proven (C a 128 multiple with
+    dh=64 — DeiT-S/ViT-B/ViT-L, green since r3), partial stores
+    elsewhere.  ``IVIT_PAD_KV`` overrides for A/Bs."""
     env = os.environ.get("IVIT_PAD_KV")
     if env is not None:
         return env not in ("", "0")
-    return False if flag is None else bool(flag)
+    if flag is not None:
+        return bool(flag)
+    return c % 128 == 0 and dh % 64 == 0 and np_ >= 128
 
 
 def _lut_on() -> bool:
@@ -675,7 +684,7 @@ def _mlp_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref,
         # LN + requant hoisted to XLA (engine _hoisted_ln8): the in-kernel
         # per-row Newton/rdiv chains are latency-bound (serial dependency
         # chain paid once per grid step — lane packing does NOT help, see
-        # runs/probe_ln_pack_r4.log); XLA runs ONE lane-packed chain for
+        # runs/ln_diag_tiny_r4.log); XLA runs ONE lane-packed chain for
         # all rows of the model instead.  Bit-identical: the hoisted form
         # is the unfused engine LN already asserted equal to the in-kernel
         # one (tests/test_engine.py, test_pallas.py).
@@ -805,6 +814,11 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
             if use_glut else jnp.zeros((1, 128), jnp.float32))
 
     hoist = ln_in is not None
+    # an ablate LN-drop token would be silently shadowed by a hoisted LN
+    # (the kernel reads lnin_ref before the ablate branch), misattributing
+    # microbench time (ADVICE r4)
+    assert not (hoist and "ln" in ablate and "ln_" not in ablate), \
+        "hoisted ln_in and an 'ln' ablate token are mutually exclusive"
     if not hoist:
         ln_in = jnp.zeros((1, c), jnp.int8)
     lnin_spec = (pl.BlockSpec((tile, c), lambda i: (i, 0),
@@ -1102,6 +1116,11 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
              if use_smlut else jnp.zeros((1, 128), jnp.float32))
     l_pad = -(-np_ // 128) * 128   # scratch lane width: LUT slab alignment
     hoist = ln_in is not None
+    # an ablate LN-drop token would be silently shadowed by a hoisted LN
+    # (the kernel reads lnin_ref before the ablate branch), misattributing
+    # microbench time (ADVICE r4)
+    assert not (hoist and "ln" in ablate and "ln_" not in ablate), \
+        "hoisted ln_in and an 'ln' ablate token are mutually exclusive"
     if not hoist:
         ln_in = jnp.zeros((1, 1, c), jnp.int8)
     lnin_spec = (pl.BlockSpec((t, np_, c), lambda i: (i, 0, 0),
@@ -1118,7 +1137,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               fast_exp=fast_exp, fast_poly=fast_poly, mxu=mxu,
                               pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
-                              sm_sum_i32=sm_sum_i32, pad_kv=_pad_kv(pad_kv),
+                              sm_sum_i32=sm_sum_i32,
+                              pad_kv=_pad_kv(pad_kv, np_, c, c // num_heads),
                               hoisted_ln=hoist),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),
@@ -1426,6 +1446,11 @@ def swin_attn_block_p(xw, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b,
     smlut = (jnp.asarray(sm_lut, jnp.float32).reshape(-1, 128)
              if use_smlut else jnp.zeros((1, 128), jnp.float32))
     hoist = ln_in is not None
+    # an ablate LN-drop token would be silently shadowed by a hoisted LN
+    # (the kernel reads lnin_ref before the ablate branch), misattributing
+    # microbench time (ADVICE r4)
+    assert not (hoist and "ln" in ablate and "ln_" not in ablate), \
+        "hoisted ln_in and an 'ln' ablate token are mutually exclusive"
     if not hoist:
         ln_in = jnp.zeros((1, 1, c), jnp.int8)
     lnin_spec = (pl.BlockSpec((wt, n, c), lambda i: (i, 0, 0),

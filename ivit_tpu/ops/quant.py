@@ -277,6 +277,11 @@ def pack_rows(fn, *cols, pad: float = 1.0):
     cannot divide by zero; their results are sliced away).
     """
     shape = cols[0].shape
+    for c in cols[1:]:
+        # all operands are flattened against shape below; a mismatched
+        # operand would be silently mis-reshaped/mis-sliced (ADVICE r4)
+        assert c.shape == shape, \
+            f"pack_rows operands must share a shape: {c.shape} vs {shape}"
     n = 1
     for d in shape:
         n *= int(d)

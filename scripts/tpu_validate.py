@@ -149,8 +149,23 @@ def dump(args):
             rec["engine"] = np.asarray(jax.jit(
                 lambda a: fwd(spec, a, pallas=False))(x))
             if args.backend == "tpu":
-                rec["engine_pallas"] = np.asarray(jax.jit(
-                    lambda a: fwd(spec, a, pallas=True))(x))
+                # both LN placements (ADVICE r4): hoisted (XLA LN feeding
+                # the kernels) AND in-kernel chains, each asserted against
+                # the unfused engine at full model size — IVIT_HOIST_LN is
+                # read at trace time, so toggle around fresh jits
+                import os
+                for tag, hoist in (("engine_pallas", "1"),
+                                   ("engine_pallas_hoist0", "0")):
+                    prev = os.environ.get("IVIT_HOIST_LN")
+                    os.environ["IVIT_HOIST_LN"] = hoist
+                    try:
+                        rec[tag] = np.asarray(jax.jit(
+                            lambda a: fwd(spec, a, pallas=True))(x))
+                    finally:
+                        if prev is None:
+                            os.environ.pop("IVIT_HOIST_LN", None)
+                        else:
+                            os.environ["IVIT_HOIST_LN"] = prev
             return rec
 
         for attempt in range(4):
@@ -171,6 +186,10 @@ def dump(args):
             d_p = np.abs(rec["engine"] - rec["engine_pallas"]).max()
             line += f"  engine-vs-pallas {d_p:g}"
             ok = ok and d_p == 0
+        if "engine_pallas_hoist0" in rec:
+            d_h = np.abs(rec["engine"] - rec["engine_pallas_hoist0"]).max()
+            line += f"  engine-vs-pallas[hoist0] {d_h:g}"
+            ok = ok and d_h == 0
         print(("PASS " if ok else "FAIL ") + line, flush=True)
         out[cname] = rec
     with open(args.out, "wb") as f:

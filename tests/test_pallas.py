@@ -79,11 +79,17 @@ import pytest
 
 
 @pytest.mark.parametrize("mxu", ["int8", "bf16"])
-def test_engine_block_kernels_match_unfused(rng, mxu, monkeypatch):
+@pytest.mark.parametrize("hoist_ln", ["0", "1"])
+def test_engine_block_kernels_match_unfused(rng, mxu, hoist_ln, monkeypatch):
     """Fused block-kernel engine (padded tokens) == unfused engine, exactly.
 
-    Parametrized over both MXU operand modes (ADVICE r2): whichever mode is
-    the env default, the other stays bit-identical under CI too.
+    Parametrized over both MXU operand modes (ADVICE r2) and both LN
+    placements (ADVICE r4): with IVIT_HOIST_LN=0 the kernels run their
+    in-kernel LN chains, so the hoisted==in-kernel claim is asserted here
+    rather than assumed (the hoisted leg alone would make the LN comparison
+    tautological — the engine feeds the kernels its own XLA LN output).
+    Full-model-size coverage of the same axis lives in
+    scripts/tpu_validate.py (--hoist-ln {0,1}).
     """
     import sys
     sys.path.insert(0, "tests")
@@ -94,6 +100,7 @@ def test_engine_block_kernels_match_unfused(rng, mxu, monkeypatch):
     from ivit_tpu.engine.vit_int import engine_forward
 
     monkeypatch.setenv("IVIT_MXU", mxu)
+    monkeypatch.setenv("IVIT_HOIST_LN", hoist_ln)
     for gelu, softmax, ln in (("ivit", "ivit", "ivit"),
                               ("ivit", "ivit", "ibert"),
                               ("ibert", "ibert", "ivit")):
