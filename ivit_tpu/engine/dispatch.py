@@ -86,3 +86,21 @@ def timed_choice(fused_fn, unfused_fn, x, iters: int = 10):
         "t_fused_ms": round(t_fused * 1e3, 3),
         "t_unfused_ms": round(t_unfused * 1e3, 3),
     }
+
+
+# Per-geometry fused-kernel tuning table (VERDICT r4 item 1 — the Ansor
+# analog).  Keys mirror MEASURED; values are kernel degrees of freedom the
+# autotune sweep (scripts/autotune.py) measured on hardware:
+#   img_tile  — images per attention-kernel program (grid collapse axis)
+#   mlp_tile  — token rows per MLP-kernel program
+# Geometries absent here keep the kernels' built-in defaults (img_tile=2,
+# mlp_tile=512, both VMEM-capped per-geometry at call time).  Rows cite
+# their sweep log.  IVIT_HEAD_PACK / IVIT_PAD_KV / IVIT_HOIST_LN remain
+# env-only A/B axes; their defaults are geometry/family-gated in code.
+TUNED: Dict[Tuple[str, int], Dict[str, Any]] = {}
+
+
+def kernel_tune(cfg) -> Dict[str, Any]:
+    """Autotuned kernel params for this geometry ({} = built-in defaults)."""
+    arch = "swin" if hasattr(cfg, "depths") else "vit"
+    return TUNED.get((arch, int(cfg.embed_dim)), {})

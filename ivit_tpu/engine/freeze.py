@@ -114,6 +114,11 @@ class EngineConfig:
     # softmax exp row sums fit ONE exact int32 reduction
     # (n * max(table) < 2**31 on every block)
     sm_sum_i32: bool = False
+    # freeze-time gate: the ppoly GELU's per-element grid re-floor
+    # ``floor(rdiv(poly(x)/2**sb, s_out))`` may run as ONE multiply
+    # ``floor(poly(x) * c)`` — proven identical by exhaustive evaluation
+    # over the full int8 input domain at freeze (_ppoly_fastdiv_gate)
+    ppoly_fastdiv: bool = False
 
     @property
     def head_dim(self):
@@ -169,6 +174,55 @@ def _exp_fast_gate(sm_base: str, gelu_base: str, s_attn, s_gelu) -> bool:
         x0 = np.floor(np.float32(-1.0) / s_sig)
         ok = ok and exp_fastdiv_ok(x0, 23)
     return bool(ok)
+
+
+PPOLY_FASTDIV_PATCHES = 8
+
+
+def _ppoly_fastdiv_gate(bounds, coeffs, scale_bits: int, s_out) -> tuple:
+    """Exhaustive proof that the ppoly GELU epilogue divide is one multiply
+    plus (at most) a few sparse fixups.
+
+    The engine computes ``g = floor(rdiv(poly(x)/2**sb, s_out))`` per
+    element (engine _gelu_int ppoly branch) — a Dekker correctly-rounded
+    divide on the hidden tensor, the costliest chain in the ppoly MLP
+    kernel (BENCH_MATRIX r4: ppoly mlp 23.6ms vs ibert 12.3ms).  But the
+    input ``x`` is the int8 fc1 requant: only 256 values exist, so freeze
+    evaluates BOTH forms over the entire domain:
+
+        fast:  g = floor(poly(x) * c),  c = fl(fl(1/s_out) * 2**-sb)
+
+    (power-of-two scalings are exact, so ``c`` carries exactly the
+    correctly-rounded reciprocal; any XLA reassociation of the two exact
+    scalings is value-neutral).  Quotients of magnitude 2**q carry an f32
+    product grid of ulp 2**(q-24), so a handful of inputs whose true
+    quotient sits within an ulp of an integer can floor differently — those
+    are repaired with per-input patches ``g += (x == h_j) * d_j`` derived
+    from the same exhaustive table (measured: 0-3 bad inputs per block).
+    Gate passes when <= PPOLY_FASTDIV_PATCHES inputs need patching;
+    returns ``(ok, c, patch_h [P], patch_d [P])`` (unused slots h=2**30
+    never match an int8 input).
+    """
+    from . import luts
+    truth = luts.ppoly_gelu_lut(bounds, coeffs, scale_bits, s_out)
+    minv = np.float32(np.float32(1.0) / np.float32(s_out))
+    c = np.float32(minv * np.float32(2.0 ** -scale_bits))
+    from ..ops.ppoly import eval_piecewise_poly
+    x = np.arange(256, dtype=np.float32) - 128.0
+    with luts._on_cpu():
+        y_int = np.asarray(eval_piecewise_poly(
+            jnp.asarray(x), jnp.asarray(bounds, jnp.float32),
+            jnp.asarray(coeffs, jnp.float32)))
+    fast = np.floor(y_int * c)
+    bad = np.nonzero(truth != fast)[0]
+    P = PPOLY_FASTDIV_PATCHES
+    patch_h = np.full((P,), 2.0**30, np.float32)
+    patch_d = np.zeros((P,), np.float32)
+    if len(bad) > P:
+        return False, c, patch_h, patch_d
+    patch_h[:len(bad)] = x[bad]
+    patch_d[:len(bad)] = (truth - fast)[bad]
+    return True, c, patch_h, patch_d
 
 
 def _poly_fast_gate(sm_base: str, gelu_base: str, s_attn, s_gelu) -> bool:
@@ -353,6 +407,7 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
     fast_poly = True
     use_lut = True
     sm_sum_i32 = True
+    ppoly_fastdiv = True
     for i in range(cfg.depth):
         bp = P[f"blocks_{i}"]
         bq = Q[f"blocks_{i}"]
@@ -464,6 +519,13 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
             # folding can reassociate the two-mul composite (measured 1-ulp
             # flips when the spec is closed over as a jit constant)
             blk["gelu_s_out"] = np.float32(s_gelu_out)
+            sb_pp = int(gelu_params.get("scale_bits", 22))
+            pf_ok, pf_c, pf_h, pf_d = _ppoly_fastdiv_gate(
+                blk["gelu_bounds"], blk["gelu_coeffs"], sb_pp, s_gelu_out)
+            ppoly_fastdiv = ppoly_fastdiv and pf_ok
+            blk["gelu_s_out_c"] = pf_c
+            blk["gelu_patch_h"] = pf_h
+            blk["gelu_patch_d"] = pf_d
 
         fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
         s_mlp_out = _act_scale(mq, "qact2", bw.mlp_out)
@@ -487,7 +549,8 @@ def freeze_model(model: VisionTransformer, variables: dict) -> EngineSpec:
         s_block_in = s_block_out
 
     cfg = dataclasses.replace(cfg, fast_exp=fast_exp, fast_poly=fast_poly,
-                              use_lut=use_lut, sm_sum_i32=sm_sum_i32)
+                              use_lut=use_lut, sm_sum_i32=sm_sum_i32,
+                              ppoly_fastdiv=ppoly_fastdiv)
     p["blocks"] = blocks
 
     # --- final norm -> cls select -> qact2 -> head ---

@@ -118,6 +118,7 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     fast_poly = True
     use_lut = True
     sm_sum_i32 = True
+    ppoly_fastdiv = True
     grid = cfg.img_size // cfg.patch_size
     for i_layer, depth in enumerate(cfg.depths):
         dim = int(cfg.embed_dim * 2 ** i_layer)
@@ -238,6 +239,14 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
             if cfg.base_type("gelu") == "ppoly":
                 # precomputed poly-output grid (see freeze.py gelu_s_out)
                 blk["gelu_s_out"] = np.float32(s_gelu_out)
+                from .freeze import _ppoly_fastdiv_gate
+                pf_ok, pf_c, pf_h, pf_d = _ppoly_fastdiv_gate(
+                    blk["gelu_bounds"], blk["gelu_coeffs"],
+                    int(gelu_params.get("scale_bits", 22)), s_gelu_out)
+                ppoly_fastdiv = ppoly_fastdiv and pf_ok
+                blk["gelu_s_out_c"] = pf_c
+                blk["gelu_patch_h"] = pf_h
+                blk["gelu_patch_d"] = pf_d
             fc2_w, fc2_b, fc2_scale = _linear(mp["fc2"], s_m2, "fc2")
             s_mlp = _act_scale(mq, "qact2", 8)
             blk["fc2_w"], blk["fc2_b"] = fc2_w, fc2_b
@@ -307,7 +316,8 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     from .freeze import _to_device
     cfg = dataclasses.replace(cfg, layout=tuple(layout), fast_exp=fast_exp,
                               fast_poly=fast_poly, use_lut=use_lut,
-                              sm_sum_i32=sm_sum_i32)
+                              sm_sum_i32=sm_sum_i32,
+                              ppoly_fastdiv=ppoly_fastdiv)
     return SwinEngineSpec(config=cfg, params=_to_device(p))
 
 
@@ -577,6 +587,10 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 gelu_bounds=blk.get("gelu_bounds"),
                 gelu_coeffs=blk.get("gelu_coeffs"),
                 gelu_s_out=blk.get("gelu_s_out"),
+                gelu_fastdiv=getattr(cfg, "ppoly_fastdiv", False),
+                gelu_s_out_c=blk.get("gelu_s_out_c"),
+                gelu_patch_h=blk.get("gelu_patch_h"),
+                gelu_patch_d=blk.get("gelu_patch_d"),
                 gelu_scale_bits=(int(cfg.type_params("gelu")
                                      .get("scale_bits", 22))
                                  if cfg.base_type("gelu") == "ppoly" else 22),

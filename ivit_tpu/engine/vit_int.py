@@ -416,6 +416,15 @@ def _gelu_int(cfg, blk, x_int):
         # The grid comes precomputed from freeze (blk["gelu_s_out"]) so no
         # traced scale chain is exposed to XLA constant folding.
         del backend
+        if getattr(cfg, "ppoly_fastdiv", False):
+            # one multiply + sparse fixups, proven == floor(rdiv(y/2**sb,
+            # s_out)) over the entire int8 input domain at freeze
+            # (_ppoly_fastdiv_gate); replaces the per-element Dekker divide
+            g = jnp.floor(y_int * blk["gelu_s_out_c"])
+            ph, pd = blk["gelu_patch_h"], blk["gelu_patch_d"]
+            for j in range(ph.shape[0]):
+                g = g + jnp.where(x_int == ph[j], pd[j], 0.0)
+            return g
         s_out = blk["gelu_s_out"]
         y = y_int / 2.0**scale_bits          # float value (exact /2**k)
         return jnp.floor(rdiv(y, s_out))     # ints on the backend grid
@@ -462,12 +471,17 @@ def _layernorm_int(cfg, x_int, bias_int, shift):
     raise ValueError(f"unknown layernorm family {base!r}")
 
 
-def engine_forward(spec: EngineSpec, images, pallas=None):
+def engine_forward(spec: EngineSpec, images, pallas=None, tune=None):
     """images: f32 NHWC [B, img, img, 3] -> float logits [B, classes].
 
     ``pallas``: None = auto (fused kernels on TPU), True/False to force.
+    ``tune``: per-geometry fused-kernel params (img_tile / mlp_tile); None
+    resolves through the autotune table (engine/dispatch.TUNED).
     """
     cfg = spec.config
+    if tune is None:
+        from . import dispatch
+        tune = dispatch.kernel_tune(cfg)
     p = spec.params
     bw = cfg.bitwidths
     B = images.shape[0]
@@ -522,6 +536,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
             x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
         lut = cfg.use_lut
         hoist = _hoist_ln_on(ln_base)
+        img_tile = int(tune.get("img_tile", 2))
+        mlp_tile = int(tune.get("mlp_tile", 512))
         for blk in p["blocks"]:
             ln1 = (_hoisted_ln8(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"],
                                 blk["s_ln1"], blk["m_ln1"]) if hoist else None)
@@ -544,7 +560,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 sm_bounds=blk.get("sm_bounds"),
                 sm_coeffs=blk.get("sm_coeffs"), exp_bits=sm_exp_bits,
                 sm_lut=blk.get("sm_lut") if lut else None,
-                sm_sum_i32=cfg.sm_sum_i32)
+                sm_sum_i32=cfg.sm_sum_i32, img_tile=img_tile)
             xf = x.reshape(B * n_pad, C)
             ln2 = (_hoisted_ln8(cfg, xf, blk["ln2_bias_int"],
                                 blk["ln2_shift"], blk["s_ln2"], blk["m_ln2"])
@@ -565,7 +581,12 @@ def engine_forward(spec: EngineSpec, images, pallas=None):
                 gelu_bounds=blk.get("gelu_bounds"),
                 gelu_coeffs=blk.get("gelu_coeffs"),
                 gelu_s_out=blk.get("gelu_s_out"), gelu_scale_bits=gelu_sb,
-                gelu_lut=blk.get("gelu_lut") if lut else None)
+                gelu_fastdiv=getattr(cfg, "ppoly_fastdiv", False),
+                gelu_s_out_c=blk.get("gelu_s_out_c"),
+                gelu_patch_h=blk.get("gelu_patch_h"),
+                gelu_patch_d=blk.get("gelu_patch_d"),
+                gelu_lut=blk.get("gelu_lut") if lut else None,
+                tile_rows=mlp_tile)
             x = xf.reshape(B, n_pad, C)
         y = _layernorm_int(cfg, x[:, :1], p["lnf_bias_int"], p["lnf_shift"])
         y = _ln_requant(y, p["s_lnf"], p["m_lnf"], 8)

@@ -666,8 +666,9 @@ def _mlp_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref,
                 m1_ref, w2_ref, b2_ref, m2_ref, sc_ref, pp_ref, glut_ref,
                 o_ref, *,
                 ln_base, gelu_base, mlp_bits, out_bits, fast_exp, fast_poly,
-                mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, ablate="",
-                c_valid=None, gelu_lut=False, hoisted_ln=False):
+                mxu, pp_seg=0, pp_deg=0, pp_scale_bits=22, pp_fastdiv=False,
+                pp_npatch=0, ablate="", c_valid=None, gelu_lut=False,
+                hoisted_ln=False):
     bf16 = mxu == "bf16"
     x_in = x_ref[...].astype(jnp.float32)
     s_sig = sc_ref[0]       # s_gelu * 1.702
@@ -676,6 +677,7 @@ def _mlp_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref,
     m_res_id = sc_ref[3]
     pw_shift = sc_ref[4]
     s_pp_out = sc_ref[5]    # ppoly gelu output grid (freeze gelu_s_out)
+    s_pp_c = sc_ref[6]      # fast-div multiplier (freeze gelu_s_out_c)
 
     # ``ablate`` is a perf-diagnostic switch for scripts/kernel_microbench.py
     # ONLY (never set by the engine): it drops a stage to attribute kernel
@@ -725,6 +727,18 @@ def _mlp_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, w1_ref, b1_ref,
         elif gelu_base == "ppoly":
             if gelu_lut:
                 g = _ppoly_gelu_lut(h, glut_ref[...])
+            elif pp_fastdiv:
+                # engine fast-div branch bit-for-bit: ONE multiply + sparse
+                # fixups, proven == floor(rdiv(y/2**sb, s_out)) over the
+                # whole int8 input domain at freeze
+                # (freeze._ppoly_fastdiv_gate) — replaces the per-element
+                # Dekker divide that dominated the ppoly MLP kernel
+                # (BENCH_MATRIX r4: 23.6ms vs ibert's 12.3)
+                y_int = _ppoly_eval(h, pp_ref, pp_seg, pp_deg)
+                g = jnp.floor(y_int * s_pp_c)
+                for j in range(pp_npatch):
+                    g = g + jnp.where(h == sc_ref[7 + 2 * j],
+                                      sc_ref[8 + 2 * j], 0.0)
             else:
                 # engine _gelu_int ppoly branch bit-for-bit: Horner ints on
                 # the 2**scale_bits grid, exact /2**sb, floor onto the
@@ -767,7 +781,9 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                 out_dtype=jnp.int8, fast_exp: bool = False,
                 fast_poly: bool = False,
                 gelu_bounds=None, gelu_coeffs=None, gelu_s_out=None,
-                gelu_scale_bits: int = 22, gelu_lut=None,
+                gelu_scale_bits: int = 22, gelu_fastdiv: bool = False,
+                gelu_s_out_c=None, gelu_patch_h=None, gelu_patch_d=None,
+                gelu_lut=None,
                 tile_rows: int = 512, interpret: bool = False, ablate="",
                 mxu: str | None = None, c_valid: int | None = None,
                 ln_in=None):
@@ -807,7 +823,21 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
         jnp.exp2(jnp.round(jnp.reshape(ln_shift, ()))).astype(jnp.float32),
         (jnp.reshape(gelu_s_out, ()).astype(jnp.float32)
          if gelu_s_out is not None else jnp.float32(1.0)),
+        (jnp.reshape(gelu_s_out_c, ()).astype(jnp.float32)
+         if gelu_s_out_c is not None else jnp.float32(1.0)),
     ])
+    use_fastdiv = bool(gelu_fastdiv and gelu_s_out_c is not None)
+    n_patch = 0
+    if use_fastdiv and gelu_patch_h is not None:
+        # sparse fixup pairs (freeze gelu_patch_h/_d) interleaved after the
+        # base scalars: sc_ref[7+2j] = h_j, sc_ref[8+2j] = d_j.  The patch
+        # COUNT is static (kernel unrolls the compare-selects); freeze pads
+        # to a fixed length, so one variant serves every block.
+        ph = jnp.asarray(gelu_patch_h, jnp.float32).reshape(-1)
+        pd = jnp.asarray(gelu_patch_d, jnp.float32).reshape(-1)
+        n_patch = int(ph.shape[0])
+        scalars = jnp.concatenate(
+            [scalars, jnp.stack([ph, pd], axis=1).reshape(-1)])
     pp, pp_seg, pp_deg = _pack_ppoly(gelu_bounds, gelu_coeffs)
     use_glut = gelu_lut is not None and _lut_on()
     glut = (jnp.asarray(gelu_lut, jnp.float32).reshape(-1, 128)
@@ -832,7 +862,9 @@ def mlp_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, fc1_w, fc1_b, m_fc1,
                               mlp_bits=mlp_bits, out_bits=out_bits,
                               fast_exp=fast_exp, fast_poly=fast_poly,
                               mxu=mxu, pp_seg=pp_seg, pp_deg=pp_deg,
-                              pp_scale_bits=gelu_scale_bits, ablate=ablate,
+                              pp_scale_bits=gelu_scale_bits,
+                              pp_fastdiv=use_fastdiv, pp_npatch=n_patch,
+                              ablate=ablate,
                               c_valid=c_valid, gelu_lut=use_glut,
                               hoisted_ln=hoist),
             name="mlp_block_kernel",

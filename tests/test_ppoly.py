@@ -135,3 +135,64 @@ def test_freeze_unfreeze_lifecycle(rng):
              jax.tree_util.tree_flatten_with_path(unfrozen["quant_stats"])[0]
              if "fitted" in str(k)]
     assert all(f[0] == 0.0 for f in flags)
+
+
+def test_ppoly_fastdiv_gate(rng):
+    """The freeze-time fast-div gate: one multiply + sparse patches must
+    reproduce floor(rdiv(poly(x)/2**sb, s_out)) over the FULL int8 domain,
+    and the engine must produce identical bits with the gate on and off
+    (unfused AND fused kernels)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import build_calibrated
+
+    import ivit_tpu.ops.pallas as ppkg
+    from ivit_tpu.engine import freeze_model
+    from ivit_tpu.engine.freeze import (PPOLY_FASTDIV_PATCHES,
+                                        _ppoly_fastdiv_gate)
+    from ivit_tpu.engine.luts import ppoly_gelu_lut
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.train.ppoly_fit import fit_ppoly_tables
+
+    model, variables = build_calibrated(rng, gelu="ppoly_backend_ibert",
+                                        softmax="ppoly_backend_ibert",
+                                        ln="ivit")
+    variables = fit_ppoly_tables(model, variables)
+    spec = freeze_model(model, variables)
+    assert spec.config.ppoly_fastdiv     # gate fires on this model
+
+    # 1. exhaustive-domain equality of the gate's fast form per block
+    for blk in spec.params["blocks"]:
+        bounds = np.asarray(blk["gelu_bounds"])
+        coeffs = np.asarray(blk["gelu_coeffs"])
+        c = np.float32(np.asarray(blk["gelu_s_out_c"]))
+        ph = np.asarray(blk["gelu_patch_h"])
+        pd = np.asarray(blk["gelu_patch_d"])
+        assert ph.shape == (PPOLY_FASTDIV_PATCHES,)
+        truth = ppoly_gelu_lut(bounds, coeffs, 22, blk["gelu_s_out"])
+        x = np.arange(256, dtype=np.float32) - 128.0
+        y_int = np.asarray(ppoly.eval_piecewise_poly(
+            jnp.asarray(x), jnp.asarray(bounds, jnp.float32),
+            jnp.asarray(coeffs, jnp.float32)))
+        fast = np.floor(y_int * c)
+        for j in range(PPOLY_FASTDIV_PATCHES):
+            fast = fast + np.where(x == ph[j], pd[j], 0.0)
+        np.testing.assert_array_equal(fast, truth)
+
+    # 2. engine bits identical gate-on vs gate-off, unfused and fused
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    fast_u = np.asarray(jax.jit(
+        lambda i: engine_forward(spec, i, pallas=False))(x))
+    slow_spec = type(spec)(
+        dataclasses.replace(spec.config, ppoly_fastdiv=False), spec.params)
+    slow_u = np.asarray(jax.jit(
+        lambda i: engine_forward(slow_spec, i, pallas=False))(x))
+    np.testing.assert_array_equal(fast_u, slow_u)
+    ppkg.FORCE_INTERPRET = True
+    try:
+        fast_f = np.asarray(jax.jit(
+            lambda i: engine_forward(spec, i, pallas=True))(x))
+    finally:
+        ppkg.FORCE_INTERPRET = False
+    np.testing.assert_array_equal(fast_u, fast_f)

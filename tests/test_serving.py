@@ -143,3 +143,59 @@ def test_serving_swin_engine(rng):
                        pallas=False) as srv:
         got = srv.infer(images)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_serving_admission_control(rng):
+    """max_queue bounds admission: over-limit submits raise QueueFull and
+    are counted; admitted requests still complete correctly."""
+    from ivit_tpu.engine.serving import QueueFull, ServingEngine
+
+    spec = build_engine(rng)
+    images = rng.normal(size=(12, 64, 64, 3)).astype(np.float32)
+    # batch_size large + long max_wait so the queue actually accumulates
+    with ServingEngine(spec, batch_size=4, max_wait_ms=200, pallas=False,
+                       max_queue=3) as srv:
+        futs, rejected = [], 0
+        for im in images:
+            try:
+                futs.append(srv.submit(im))
+            except QueueFull:
+                rejected += 1
+        got = [f.result(timeout=60) for f in futs]
+        m = srv.metrics.summary()
+    assert rejected >= 1                     # 12 offered into a 3-deep queue
+    assert len(got) == 12 - rejected
+    assert m["rejected"] == rejected
+    assert all(g.shape == got[0].shape for g in got)
+
+
+def test_serving_deadline_sheds_stale_requests(rng):
+    """Requests older than deadline_ms at batch-assembly time are shed
+    with DeadlineExceeded (or cancelled), not run on the device."""
+    import time
+
+    from ivit_tpu.engine.serving import DeadlineExceeded, ServingEngine
+    from concurrent.futures import CancelledError
+
+    spec = build_engine(rng)
+    images = rng.normal(size=(6, 64, 64, 3)).astype(np.float32)
+    with ServingEngine(spec, batch_size=4, max_wait_ms=5, pallas=False,
+                       deadline_ms=1e9) as srv:
+        # sanity: with an infinite deadline nothing is shed
+        got = srv.infer(images)
+        assert got.shape[0] == 6
+        assert srv.metrics.summary()["shed"] == 0
+    # now a 0 ms deadline: every request is already stale when batched
+    with ServingEngine(spec, batch_size=4, max_wait_ms=5, pallas=False,
+                       deadline_ms=0.0) as srv:
+        futs = [srv.submit(im) for im in images]
+        shed = 0
+        for f in futs:
+            try:
+                f.result(timeout=60)
+            except (DeadlineExceeded, CancelledError):
+                shed += 1
+        m = srv.metrics.summary()
+    assert shed == 6
+    assert m["shed"] == 6
+    assert m["images"] == 0                  # nothing reached the device
