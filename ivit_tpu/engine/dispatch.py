@@ -29,10 +29,12 @@ from typing import Any, Dict, Tuple
 # without same-session bench+validate) — scripts/path_compare.py /
 # scripts/swin_path_compare.py regenerate them.
 MEASURED: Dict[Tuple[str, int], Dict[str, Any]] = {
-    # r4: fused 7,014 vs unfused 7,969 img/s (runs/path_compare_tiny_r4b.log)
-    ("vit", 192): {"fused": False,
-                   "evidence": "r4 runs/path_compare_tiny_r4b.log "
-                               "(7,014 fused vs 7,969 unfused)"},
+    # r5 autotune: fused WITH hoisted ivit LN + tuned tiles = 9,513 img/s vs
+    # 7,969 unfused (runs/autotune_tiny_r5a/b.log, 32 configs, all bitwise-
+    # equal) — the r4 "fused loses at C=192" result predated LN hoisting
+    ("vit", 192): {"fused": True,
+                   "evidence": "r5 runs/autotune_tiny_r5b.log "
+                               "(9,513 fused/hoist vs 7,969 unfused)"},
     # r4: fused 7,053 vs unfused 4,884 (runs/path_compare_small_r4b.log)
     ("vit", 384): {"fused": True,
                    "evidence": "r4 runs/path_compare_small_r4b.log "
@@ -97,10 +99,44 @@ def timed_choice(fused_fn, unfused_fn, x, iters: int = 10):
 # mlp_tile=512, both VMEM-capped per-geometry at call time).  Rows cite
 # their sweep log.  IVIT_HEAD_PACK / IVIT_PAD_KV / IVIT_HOIST_LN remain
 # env-only A/B axes; their defaults are geometry/family-gated in code.
-TUNED: Dict[Tuple[str, int], Dict[str, Any]] = {}
+TUNED: Dict[Tuple[str, int], Dict[str, Any]] = {
+    # r5 sweep winner at C=192: img_tile 2, mlp_tile 512, head_pack 1
+    # (9,513 img/s vs 9,359 at the head-packed default; packing buys
+    # nothing at H=3 where one head always rides alone) —
+    # runs/autotune_tiny_r5a.log + _r5b.log
+    ("vit", 192): {"img_tile": 2, "mlp_tile": 512, "head_pack": 1,
+                   "evidence": "runs/autotune_tiny_r5b.log"},
+    # r5 sweep at C=384: the built-in defaults are the measured optimum
+    # within tunnel noise (7,216 best-swept vs 7,245-7,301 at defaults,
+    # runs/autotune_small_r5a.log + headline_ab_r5.log); no override
+}
 
 
 def kernel_tune(cfg) -> Dict[str, Any]:
     """Autotuned kernel params for this geometry ({} = built-in defaults)."""
     arch = "swin" if hasattr(cfg, "depths") else "vit"
     return TUNED.get((arch, int(cfg.embed_dim)), {})
+
+
+# Per-stage Swin path table (VERDICT r4 item 3): Swin stage dims span
+# exactly the widths where the ViT A/Bs flip between unfused and fused, so
+# each stage routes independently.  Keys are stage channel dims; rows cite
+# their measurement log (scripts/swin_path_compare.py --stage-ab).
+MEASURED_SWIN_STAGE: Dict[int, Dict[str, Any]] = {}
+
+
+def swin_stage_choice(cfg) -> Tuple[tuple, Dict[str, Any]]:
+    """Per-stage fused/unfused mix for a Swin config."""
+    dims = [int(cfg.embed_dim) * 2**i for i in range(len(cfg.depths))]
+    paths, src = [], {}
+    for d in dims:
+        row = MEASURED_SWIN_STAGE.get(d)
+        if row is not None:
+            paths.append(bool(row["fused"]))
+            src[str(d)] = row["evidence"]
+        else:
+            # ViT A/B heuristic: fused kernels amortize their per-program
+            # cost from C>=256 (MEASURED table); below that unfused wins
+            paths.append(d >= 256)
+            src[str(d)] = "heuristic (vit table: fused iff C >= 256)"
+    return tuple(paths), {"source": "swin-stage-table", "evidence": src}

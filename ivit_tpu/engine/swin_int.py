@@ -333,7 +333,7 @@ def _window_reverse_i(wins, ws, h, w):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
-def swin_fusion_report(cfg, pallas=None) -> dict:
+def swin_fusion_report(cfg, pallas=None, stage_paths=None) -> dict:
     """Execution-path report for the Swin engine (no silent slow path).
 
     Mirrors the gates in :func:`swin_engine_forward`: window attention fuses
@@ -366,9 +366,14 @@ def swin_fusion_report(cfg, pallas=None) -> dict:
     stages = {f"stage{i}(dim={d})"
               + ("" if d % 128 == 0
                  else f" [C padded to {-(-d // 128) * 128}]"):
-              bool(fuse_mlp) for i, d in enumerate(dims)}
+              bool(fuse_mlp and (stage_paths is None or stage_paths[i]))
+              for i, d in enumerate(dims)}
     return {"fused_mlp_stages": stages,
-            "fused_window_attention": fuse_attn,
+            "fused_window_attention": bool(
+                fuse_attn and (stage_paths is None or any(stage_paths))),
+            "fused_attn_stages": [bool(fuse_attn and (stage_paths is None
+                                                      or stage_paths[i]))
+                                  for i in range(len(dims))],
             "lut_nonlinearities": bool((fuse_attn or fuse_mlp)
                                        and getattr(cfg, "use_lut", False)
                                        and pblk._lut_on()),
@@ -430,7 +435,7 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
 
 
 def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
-                        fuse_parts=("attn", "mlp")):
+                        fuse_parts=("attn", "mlp"), stage_paths=None):
     """images f32 NHWC -> float logits; all integer inner loop.
 
     ``pallas``: fuse the window-attention half into swin_attn_block_p and
@@ -438,6 +443,12 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
     ``fuse_parts``: A/B switch for scripts/swin_path_compare.py — restrict
     fusion to a subset of {"attn", "mlp"} (both paths are bit-identical,
     so this is perf-diagnostic only).
+    ``stage_paths``: per-stage fused/unfused mix (VERDICT r4 item 3) — a
+    tuple of one bool per stage; ``None`` follows ``pallas`` everywhere.
+    The geometry argument is per-stage (stage dims 96..768 span exactly
+    the widths where the fused kernels lose and win on ViT), so the
+    dispatch table routes each stage independently; all mixes are
+    bit-identical (tests/test_swin_engine.py).
     """
     cfg = spec.config
     p = spec.params
@@ -496,7 +507,8 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
         ws = min(cfg.window_size, res)
         n = ws * ws
 
-        if fuse_attn:
+        st_on = stage_paths is None or bool(stage_paths[stage])
+        if fuse_attn and st_on:
             # fused half-block: only the (token-permutation) shift/partition
             # runs outside the kernel; LN, qkv, per-window scores with
             # bias/mask addends, batched softmax, ctx, proj and the integer
@@ -545,7 +557,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
             x = _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws,
                                    n, shift)
 
-        if fuse_mlp and (dim % 128 == 0 or pad_ffn):
+        if fuse_mlp and st_on and (dim % 128 == 0 or pad_ffn):
             # non-lane-aligned stages (dims 96/192) zero-pad C onto the
             # 128-lane grid: the kernel's LN masks pad lanes
             # (ops/pallas/block._mask_pad_lanes), zero-padded weights/

@@ -538,6 +538,7 @@ def engine_forward(spec: EngineSpec, images, pallas=None, tune=None):
         hoist = _hoist_ln_on(ln_base)
         img_tile = int(tune.get("img_tile", 2))
         mlp_tile = int(tune.get("mlp_tile", 512))
+        head_pack = tune.get("head_pack")
         for blk in p["blocks"]:
             ln1 = (_hoisted_ln8(cfg, x, blk["ln1_bias_int"], blk["ln1_shift"],
                                 blk["s_ln1"], blk["m_ln1"]) if hoist else None)
@@ -560,7 +561,8 @@ def engine_forward(spec: EngineSpec, images, pallas=None, tune=None):
                 sm_bounds=blk.get("sm_bounds"),
                 sm_coeffs=blk.get("sm_coeffs"), exp_bits=sm_exp_bits,
                 sm_lut=blk.get("sm_lut") if lut else None,
-                sm_sum_i32=cfg.sm_sum_i32, img_tile=img_tile)
+                sm_sum_i32=cfg.sm_sum_i32, img_tile=img_tile,
+                head_pack=head_pack)
             xf = x.reshape(B * n_pad, C)
             ln2 = (_hoisted_ln8(cfg, xf, blk["ln2_bias_int"],
                                 blk["ln2_shift"], blk["s_ln2"], blk["m_ln2"])
@@ -670,10 +672,16 @@ class Engine:
                                swin_fusion_report)
         self.spec = spec
         spec_cls = type(spec)
-        fwd = (swin_engine_forward if isinstance(spec, SwinEngineSpec)
-               else engine_forward)
+        is_swin = isinstance(spec, SwinEngineSpec)
+        fwd = swin_engine_forward if is_swin else engine_forward
 
-        def _jit(path):
+        stage_paths = None
+
+        def _jit(path, stages=None):
+            if is_swin:
+                return jax.jit(lambda params, images: fwd(
+                    spec_cls(self.spec.config, params), images, pallas=path,
+                    stage_paths=stages))
             return jax.jit(lambda params, images: fwd(
                 spec_cls(self.spec.config, params), images, pallas=path))
 
@@ -683,12 +691,20 @@ class Engine:
                 fused, path_choice = dispatch.timed_choice(
                     lambda a: _jit(True)(spec.params, a),
                     lambda a: _jit(False)(spec.params, a), probe_images)
+                pallas = bool(fused)
+            elif is_swin:
+                # per-stage mix (VERDICT r4 item 3): stage dims span the
+                # widths where fused wins AND loses on ViT
+                stage_paths, path_choice = dispatch.swin_stage_choice(
+                    spec.config)
+                pallas = True
             else:
                 fused, path_choice = dispatch.static_choice(spec.config)
-            pallas = bool(fused)
+                pallas = bool(fused)
 
-        if isinstance(spec, SwinEngineSpec):
-            self.fusion = swin_fusion_report(spec.config, pallas)
+        if is_swin:
+            self.fusion = swin_fusion_report(spec.config, pallas,
+                                             stage_paths=stage_paths)
             fused = self.fusion["fused_window_attention"]
         else:
             self.fusion = fusion_report(spec.config, pallas)
@@ -703,7 +719,7 @@ class Engine:
             log.warning("engine path: UNFUSED per-op graph (%s; choice: %s)",
                         "; ".join(self.fusion["unfused_reasons"]) or "by "
                         "dispatch", path_choice)
-        self._jitted = _jit(pallas)
+        self._jitted = _jit(pallas, stage_paths)
 
     def __call__(self, images):
         return self._jitted(self.spec.params, images)

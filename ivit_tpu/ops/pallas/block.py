@@ -315,7 +315,7 @@ def _ctx_dots(qkv, scores_ref, ctx_ref, row0, band0, n, c, dh, num_heads,
                     i * n:(i + 1) * n, i * dh:(i + 1) * dh].astype(jnp.float32)
 
 
-def _pad_kv(flag, np_=0, c=0, dh=0):
+def _pad_kv(flag, np_=0, c=0, dh=0, pack=1):
     """k/v zero-row padding vs partial-lane stores for the widened scores
     scratch (both bit-identical; compile behavior AND speed differ per
     geometry).
@@ -336,7 +336,12 @@ def _pad_kv(flag, np_=0, c=0, dh=0):
         return env not in ("", "0")
     if flag is not None:
         return bool(flag)
-    return c % 128 == 0 and dh % 64 == 0 and np_ >= 128
+    # pack-aware: unpacked dh=64 slices sit at 64-lane offsets for odd
+    # heads, which is exactly the nonzero-offset layout Mosaic rejects
+    # under jnp.pad (r5 sweep: every head_pack=1 DeiT-S config compiled
+    # ONLY with partial stores, runs/autotune_small_r5a.log)
+    return (c % 128 == 0 and dh % 64 == 0 and np_ >= 128
+            and (pack * dh) % 128 == 0)
 
 
 def _lut_on() -> bool:
@@ -986,7 +991,7 @@ def _attn_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref,
                  n_valid, sm_bit, proj_bits, out_bits, attn_bits, fast_exp,
                  fast_poly, mxu, pp_seg=0, pp_deg=0, pp_exp_bits=16,
                  sm_lut=False, sm_sum_i32=False, pad_kv=True,
-                 hoisted_ln=False):
+                 head_pack=None, hoisted_ln=False):
     bf16 = mxu == "bf16"
     t, np_, c = x_ref.shape
     dh = c // num_heads
@@ -1042,7 +1047,7 @@ def _attn_kernel(x_ref, lnin_ref, lnb_ref, sln_ref, mln_ref, wqkv_ref,
     # softmax VPU chain (the exp tower dominates the elementwise cost) runs
     # ONCE over [t*H*Np, Np] instead of t*H times over [Np, Np] — shiftmax
     # is row-local, so the batched evaluation is bit-identical.
-    pack = _head_pack(num_heads, dh)
+    pack = head_pack or _head_pack(num_heads, dh)
     if "qk" in ablate:
         # ablation: skip the per-head score dots AND their slice extractions
         scores_ref[...] = jnp.full(scores_ref.shape, 7.0, jnp.float32)
@@ -1113,7 +1118,8 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                  fast_poly: bool = False,
                  sm_bounds=None, sm_coeffs=None, exp_bits: int = 16,
                  sm_lut=None, sm_sum_i32: bool = False,
-                 img_tile: int = 2, interpret: bool = False, ablate="",
+                 img_tile: int = 2, head_pack: int | None = None,
+                 interpret: bool = False, ablate="",
                  mxu: str | None = None, pad_kv: bool | None = None,
                  ln_in=None):
     """Fused attention half-block on the padded token stream.
@@ -1170,7 +1176,11 @@ def attn_block_p(x_int, *, ln_bias, s_ln, m_ln, ln_shift, qkv_w, qkv_b, m_qkv,
                               pp_seg=pp_seg, pp_deg=pp_deg,
                               pp_exp_bits=exp_bits, sm_lut=use_smlut,
                               sm_sum_i32=sm_sum_i32,
-                              pad_kv=_pad_kv(pad_kv, np_, c, c // num_heads),
+                              pad_kv=_pad_kv(
+                                  pad_kv, np_, c, c // num_heads,
+                                  head_pack or _head_pack(num_heads,
+                                                          c // num_heads)),
+                              head_pack=head_pack,
                               hoisted_ln=hoist),
             name="attn_block_kernel",
             out_shape=jax.ShapeDtypeStruct((b, np_, c), out_dtype),

@@ -77,3 +77,43 @@ def shard_variables(variables, mesh: Mesh):
     """Place a variables pytree onto the mesh per the TP layout."""
     shardings = param_shardings(variables, mesh)
     return jax.device_put(variables, shardings), shardings
+
+
+# --- tensor-parallel layout for the FROZEN ENGINE --------------------------
+#
+# The integer engine's spec params (engine/freeze.py) get the same TP
+# geometry as the sim: qkv/fc1 column-sharded (output features follow heads
+# / hidden units), proj/fc2 row-sharded (K-reduction over the model axis —
+# XLA inserts the psum over int32 partial accumulators, which is EXACT, so
+# the sharded engine is bit-identical to the single-device one;
+# tests/test_parallel.py asserts it).  Requant multipliers / biases that
+# live on a sharded output axis shard with it; everything else replicates.
+
+_ENGINE_COL = ("qkv_w", "fc1_w")
+_ENGINE_COL_VEC = ("qkv_b", "m_qkv", "fc1_b", "m_fc1")
+_ENGINE_ROW = ("proj_w", "fc2_w")
+
+
+def _engine_param_spec(path: tuple) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    leaf = names[-1] if names else ""
+    if leaf in _ENGINE_COL:
+        return P(None, MODEL_AXIS)
+    if leaf in _ENGINE_COL_VEC:
+        return P(MODEL_AXIS)
+    if leaf in _ENGINE_ROW:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def engine_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a frozen EngineSpec's params."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _engine_param_spec(path)),
+        params)
+
+
+def shard_engine_params(params, mesh: Mesh):
+    """Place engine params onto the mesh per the TP layout."""
+    shardings = engine_param_shardings(params, mesh)
+    return jax.device_put(params, shardings), shardings

@@ -61,6 +61,12 @@ def main():
         "mlp": (None, ("mlp",)),
         "mlp_nopad": (None, ("mlp", "mlp_nopad")),
         "unfused": (False, ()),
+        # per-stage mixes (VERDICT r4 item 3): fused only on the listed
+        # stages, unfused elsewhere; swin_engine_forward stage_paths
+        "stages23": (None, ("attn", "mlp"), (False, False, True, True)),
+        "stages123": (None, ("attn", "mlp"), (False, True, True, True)),
+        "stages3": (None, ("attn", "mlp"), (False, False, False, True)),
+        "dispatch": ("dispatch", ()),
     }
     outs = {}
     for mode in args.modes.split(","):
@@ -72,9 +78,20 @@ def main():
             np.asarray(ff(fvars, x_cal))
             t = time_dispatch(lambda a: ff(fvars, a), x, iters=args.iters)
         else:
-            pallas, parts = variants[mode]
-            fwd = jax.jit(lambda p, a, pl=pallas, fp=parts: swin_engine_forward(
-                type(spec)(spec.config, p), a, pallas=pl, fuse_parts=fp))
+            v = variants[mode]
+            if v[0] == "dispatch":
+                from ivit_tpu.engine import dispatch as _dispatch
+                stages, rep = _dispatch.swin_stage_choice(spec.config)
+                print(json.dumps({"mode": mode, "stage_paths": list(stages),
+                                  "evidence": rep}), flush=True)
+                pallas, parts = True, ("attn", "mlp")
+            else:
+                pallas, parts = v[0], v[1]
+                stages = v[2] if len(v) > 2 else None
+            fwd = jax.jit(lambda p, a, pl=pallas, fp=parts, sp=stages:
+                          swin_engine_forward(type(spec)(spec.config, p), a,
+                                              pallas=pl, fuse_parts=fp,
+                                              stage_paths=sp))
             t = time_dispatch(lambda a: fwd(spec.params, a), x,
                               iters=args.iters)
             outs[mode] = np.asarray(fwd(spec.params, x))

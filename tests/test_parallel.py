@@ -97,3 +97,39 @@ def test_swin_mesh_forward_matches_single_device(rng):
         fwd, in_shardings=(shardings, batch_sharding(mesh)),
         out_shardings=batch_sharding(mesh))(v_sh, x_sh))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_engine_tp_bitexact(rng, dp, tp):
+    """Engine-side tensor parallelism (VERDICT r4 item 9): the frozen
+    integer engine with qkv/fc1 column-sharded and proj/fc2 row-sharded
+    over the model axis must be BIT-identical to the single-device engine
+    — the K-reduction psum runs over exact int32 partials."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import build_calibrated
+
+    from ivit_tpu.engine import freeze_model
+    from ivit_tpu.engine.vit_int import engine_forward
+    from ivit_tpu.parallel.mesh import shard_engine_params
+
+    model, variables = build_calibrated(rng)
+    spec = freeze_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(8, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(jax.jit(
+        lambda i: engine_forward(spec, i, pallas=False))(x))
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    params, shardings = shard_engine_params(spec.params, mesh)
+    spec_cls = type(spec)
+    fwd = jax.jit(
+        lambda p, i: engine_forward(spec_cls(spec.config, p), i,
+                                    pallas=False),
+        in_shardings=(shardings, batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = np.asarray(fwd(params, xs))
+    np.testing.assert_array_equal(got, want)
+    # the weight shards actually live on the model axis
+    qkv = params["blocks"][0]["qkv_w"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")

@@ -110,3 +110,24 @@ def test_swin_engine_ppoly_matches_sim(rng):
     finally:
         ppkg.FORCE_INTERPRET = False
     np.testing.assert_array_equal(eng_p, sim)
+
+
+def test_swin_engine_stage_paths_bitwise(rng):
+    """Per-stage fused/unfused mixes (dispatch item r4-3) are bit-identical
+    to the all-unfused engine for every mask."""
+    import itertools
+
+    model, variables = build_swin(rng, gelu_type="ivit", softmax_type="ivit",
+                                  layernorm_type="ivit")
+    spec = freeze_swin_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    want = np.asarray(swin_engine_forward(spec, x, pallas=False))
+    import ivit_tpu.ops.pallas as ppkg
+    ppkg.FORCE_INTERPRET = True
+    try:
+        for mask in itertools.product((False, True), repeat=2):
+            got = np.asarray(swin_engine_forward(spec, x, pallas=True,
+                                                 stage_paths=mask))
+            np.testing.assert_array_equal(got, want, err_msg=str(mask))
+    finally:
+        ppkg.FORCE_INTERPRET = False
