@@ -41,10 +41,11 @@ MEASURED: Dict[Tuple[str, int], Dict[str, Any]] = {
                                "(7,053 fused vs 4,884 unfused)"},
     # r3: ViT-B fused 1.162x bf16 (BENCH_MATRIX_r3.json vit_base row)
     ("vit", 768): {"fused": True, "evidence": "BENCH_MATRIX_r3.json vit_base"},
-    # r4: fused 1,499 vs unfused 1,526 img/s (runs/swin_path_compare_r4b.log)
-    ("swin", 96): {"fused": False,
-                   "evidence": "r4 runs/swin_path_compare_r4b.log "
-                               "(1,499 fused vs 1,526 unfused)"},
+    # swin routes per-stage now (MEASURED_SWIN_STAGE below); this row only
+    # feeds the whole-model static_choice fallback
+    ("swin", 96): {"fused": True,
+                   "evidence": "r5 runs/swin_path_compare_r5.log "
+                               "(per-stage mixes all beat unfused)"},
 }
 
 
@@ -122,7 +123,16 @@ def kernel_tune(cfg) -> Dict[str, Any]:
 # exactly the widths where the ViT A/Bs flip between unfused and fused, so
 # each stage routes independently.  Keys are stage channel dims; rows cite
 # their measurement log (scripts/swin_path_compare.py --stage-ab).
-MEASURED_SWIN_STAGE: Dict[int, Dict[str, Any]] = {}
+MEASURED_SWIN_STAGE: Dict[int, Dict[str, Any]] = {
+    # r5 hardware A/B (runs/swin_path_compare_r5.log, batch 64, all masks
+    # bitwise-equal): unfused 1,519 / all-fused 1,602 / stages23 1,624 /
+    # stages123 1,643 / stages3 1,551 img/s -> stage0 unfused, 1-3 fused.
+    96: {"fused": False, "evidence": "r5 runs/swin_path_compare_r5.log "
+                                     "(stages123 1,643 > fused 1,602)"},
+    192: {"fused": True, "evidence": "r5 runs/swin_path_compare_r5.log"},
+    384: {"fused": True, "evidence": "r5 runs/swin_path_compare_r5.log"},
+    768: {"fused": True, "evidence": "r5 runs/swin_path_compare_r5.log"},
+}
 
 
 def swin_stage_choice(cfg) -> Tuple[tuple, Dict[str, Any]]:

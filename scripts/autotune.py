@@ -74,12 +74,17 @@ def main():
         [v for v in args.pad_kv.split(",")]))
     best = None
     for it, mt, hp, ho, pk in grid:
-        os.environ["IVIT_HEAD_PACK"] = hp
-        os.environ["IVIT_HOIST_LN"] = ho
-        os.environ["IVIT_PAD_KV"] = pk
+        # an axis value of "d" leaves the in-code default (env unset), so
+        # geometry/family gates (_pad_kv, _hoist_ln_on) stay in effect
+        for env, val in (("IVIT_HEAD_PACK", hp), ("IVIT_HOIST_LN", ho),
+                         ("IVIT_PAD_KV", pk)):
+            if val == "d":
+                os.environ.pop(env, None)
+            else:
+                os.environ[env] = val
         row = {"model": args.model, "fam": args.fam, "img_tile": it,
-               "mlp_tile": mt, "head_pack": int(hp), "hoist_ln": int(ho),
-               "pad_kv": int(pk)}
+               "mlp_tile": mt, "head_pack": hp, "hoist_ln": ho,
+               "pad_kv": pk}
         tune = {"img_tile": it, "mlp_tile": mt}
         try:
             fwd = jax.jit(lambda i, t=tune: engine_forward(

@@ -155,12 +155,16 @@ def bench_config(cfg, batch, iters, sol=False):
                                               swin_engine_forward,
                                               swin_fusion_report)
         spec = freeze_swin_model(model, frozen)
-        from ivit_tpu.engine.dispatch import static_choice
-        use_fused, path_choice = static_choice(spec.config)
-        fusion = swin_fusion_report(spec.config, pallas=use_fused)
+        # per-stage dispatch (engine/dispatch.swin_stage_choice): each stage
+        # routes fused/unfused independently; provenance recorded per stage
+        from ivit_tpu.engine.dispatch import swin_stage_choice
+        stage_paths, path_choice = swin_stage_choice(spec.config)
+        fusion = swin_fusion_report(spec.config, pallas=True,
+                                    stage_paths=stage_paths)
         fusion["path_choice"] = path_choice
         fwd = jax.jit(lambda p, a: swin_engine_forward(
-            type(spec)(spec.config, p), a, pallas=use_fused))
+            type(spec)(spec.config, p), a, pallas=True,
+            stage_paths=stage_paths))
     else:
         from ivit_tpu.engine import freeze_model
         from ivit_tpu.engine.vit_int import engine_forward, fusion_report

@@ -100,6 +100,45 @@ def main():
         result["points"].append(point)
         print(json.dumps(point), flush=True)
 
+    # --- overload A/B: admission control + deadline vs unbounded queue ---
+    # (VERDICT r4 item 8).  Open-loop offered load ABOVE the tunnel-bound
+    # service rate: with an unbounded queue, p95 is queue depth (r4:
+    # 6.17 s at batch-64 load); with max_queue + deadline_ms, stale
+    # requests are shed/rejected and served-request latency stays bounded
+    # by the contract.
+    bs = 32
+    n_offer = 256
+    for tag, kw in (("unbounded", {}),
+                    ("bounded", {"max_queue": 2 * bs,
+                                 "deadline_ms": 2000.0})):
+        from ivit_tpu.engine.serving import DeadlineExceeded, QueueFull
+        from concurrent.futures import CancelledError
+        with ServingEngine(spec, batch_size=bs, max_wait_ms=2.0,
+                           inflight=2, **kw) as srv:
+            srv.infer(imgs[:bs])
+            srv.metrics = type(srv.metrics)()
+            futs, rejected = [], 0
+            t0 = time.perf_counter()
+            for i in range(n_offer):
+                try:
+                    futs.append(srv.submit(imgs[i % len(imgs)]))
+                except QueueFull:
+                    rejected += 1
+            served = shed = 0
+            for f in futs:
+                try:
+                    f.result()
+                    served += 1
+                except (DeadlineExceeded, CancelledError):
+                    shed += 1
+            wall = time.perf_counter() - t0
+            snap = srv.metrics.summary()
+        point = {"mode": tag, "batch_size": bs, "offered": n_offer,
+                 "served": served, "rejected": rejected, "shed": shed,
+                 "wall_s": round(wall, 3), **kw, **snap}
+        result.setdefault("overload_ab", []).append(point)
+        print(json.dumps(point), flush=True)
+
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", args.out)

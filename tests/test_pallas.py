@@ -221,3 +221,28 @@ def test_attn_block_kernel_int16_softmax(rng):
     finally:
         ppkg.FORCE_INTERPRET = False
     np.testing.assert_array_equal(got, want)
+
+
+def test_engine_tune_params_bitwise(rng):
+    """Autotuned kernel params (dispatch.TUNED -> engine_forward tune=) are
+    pure schedule choices: any tiling/packing must be bit-identical."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import build_calibrated
+
+    import ivit_tpu.ops.pallas as ppkg
+    from ivit_tpu.engine import freeze_model
+    from ivit_tpu.engine.vit_int import engine_forward
+
+    model, variables = build_calibrated(rng)
+    spec = freeze_model(model, variables)
+    x = jnp.asarray(rng.normal(size=(3, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(engine_forward(spec, x, pallas=False))
+    ppkg.FORCE_INTERPRET = True
+    try:
+        for tune in ({"img_tile": 1, "mlp_tile": 64, "head_pack": 1},
+                     {"img_tile": 3, "mlp_tile": 512, "head_pack": 2}):
+            got = np.asarray(engine_forward(spec, x, pallas=True, tune=tune))
+            np.testing.assert_array_equal(got, want, err_msg=str(tune))
+    finally:
+        ppkg.FORCE_INTERPRET = False
