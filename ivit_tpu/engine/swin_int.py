@@ -321,16 +321,51 @@ def freeze_swin_model(model: SwinTransformer, variables: dict) -> SwinEngineSpec
     return SwinEngineSpec(config=cfg, params=_to_device(p))
 
 
+def _wide_relayout() -> bool:
+    """Run the window permutations (partition/reverse/roll) on int32:
+    measured SLOWER, default OFF.
+
+    Hypothesis: the token streams are int8/int16, and XLA:TPU transposes of
+    PACKED subword types move data at sub-word granularity (the r5 profile
+    shows the stage-1 int16 partition/reverse copies at ~1,062 us for a
+    19 MB tensor, ~11x the HBM bound — runs/tpu_batch3_r5.log, 'copy' =
+    20.6% of the mixed-path model), so widening to int32 (value-exact)
+    should let the copies move whole words.  Measured
+    (runs/swin_relayout_ab_r5.log): the extra cast passes cost MORE than
+    the subword relayout saves — mixed path 1,617 img/s widened vs 1,650
+    base.  Kept as an env A/B knob (``IVIT_WIDE_RELAYOUT=1``); the window
+    permutation cost is pinned as an XLA relayout property, not fixable by
+    operand widening."""
+    import os
+    return os.environ.get("IVIT_WIDE_RELAYOUT", "0") not in ("", "0")
+
+
+def _roll_i(x, shifts, axes):
+    """jnp.roll with the same int32 widening as the partitions (rolls are
+    slice+concat copies of the packed stream; see _wide_relayout)."""
+    dt = x.dtype
+    if _wide_relayout() and dt in (jnp.int8, jnp.int16):
+        return jnp.roll(x.astype(jnp.int32), shifts, axes).astype(dt)
+    return jnp.roll(x, shifts, axes)
+
+
 def _window_partition_i(x, ws):
     b, h, w, c = x.shape
+    dt = x.dtype
+    if _wide_relayout() and dt in (jnp.int8, jnp.int16):
+        x = x.astype(jnp.int32)
     x = x.reshape(b, h // ws, ws, w // ws, ws, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    out = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    return out.astype(dt)
 
 
 def _window_reverse_i(wins, ws, h, w):
     b = wins.shape[0] // (h * w // ws // ws)
+    dt = wins.dtype
+    if _wide_relayout() and dt in (jnp.int8, jnp.int16):
+        wins = wins.astype(jnp.int32)
     x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1).astype(dt)
 
 
 def swin_fusion_report(cfg, pallas=None, stage_paths=None) -> dict:
@@ -388,7 +423,7 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
     y = _ln_requant(y, blk["s_ln1"], blk["m_ln1"], 8)
     yw = y.reshape(B, res, res, dim)
     if shift > 0:
-        yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
+        yw = _roll_i(yw, (-shift, -shift), (1, 2))
     yw = _window_partition_i(yw, ws)            # [B*nW, n, dim] i8
 
     acc = _gemm_bias(yw, blk["qkv_w"], blk["qkv_b"])
@@ -426,7 +461,7 @@ def _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws, n, shift):
 
     yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
     if shift > 0:
-        yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
+        yo = _roll_i(yo, (shift, shift), (1, 2))
     yo = yo.reshape(B, res * res, dim)
 
     return jnp.clip(jnp.round(_f32(yo) * blk["m_res1_x"])
@@ -516,7 +551,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
             # per-op path below (tests/test_swin_engine.py).
             xw = x.reshape(B, res, res, dim)
             if shift > 0:
-                xw = jnp.roll(xw, (-shift, -shift), axis=(1, 2))
+                xw = _roll_i(xw, (-shift, -shift), (1, 2))
             xw = _window_partition_i(xw, ws)        # [B*nW, n, dim] i16
             nw = (res // ws) ** 2
             ln1 = (_hoisted_ln8(cfg, xw, blk["ln1_bias_int"],
@@ -551,7 +586,7 @@ def swin_engine_forward(spec: SwinEngineSpec, images, pallas=None,
                 win_tile=16 if dim < 256 else 8)
             yo = _window_reverse_i(yo.reshape(-1, ws, ws, dim), ws, res, res)
             if shift > 0:
-                yo = jnp.roll(yo, (shift, shift), axis=(1, 2))
+                yo = _roll_i(yo, (shift, shift), (1, 2))
             x = yo.reshape(B, res * res, dim)
         else:
             x = _swin_attn_unfused(cfg, blk, x, B, res, dim, heads, ws,
