@@ -145,3 +145,41 @@ def test_engine_16bit_softmax_config(rng):
     # probs container must actually be int16 in this config
     from ivit_tpu.engine.vit_int import _container
     assert _container(16) == jnp.int16
+
+
+
+def test_dispatch_tables_invariants():
+    """Calibration tables are measurement records: every row must carry its
+    evidence citation, keys must be well-formed, and the resolvers must
+    return consistent structures (guards future table edits)."""
+    from ivit_tpu.engine import dispatch
+
+    for key, row in dispatch.MEASURED.items():
+        arch, dim = key
+        assert arch in ("vit", "swin") and isinstance(dim, int)
+        assert isinstance(row["fused"], bool)
+        assert "evidence" in row and row["evidence"]
+    for key, row in dispatch.TUNED.items():
+        arch, dim = key
+        assert arch in ("vit", "swin") and isinstance(dim, int)
+        assert "evidence" in row and row["evidence"]
+        for k in row:
+            assert k in ("img_tile", "mlp_tile", "head_pack", "evidence"), k
+    for dim, row in dispatch.MEASURED_SWIN_STAGE.items():
+        assert isinstance(dim, int)
+        assert isinstance(row["fused"], bool)
+        assert "evidence" in row and row["evidence"]
+
+    class VitCfg:
+        embed_dim = 192
+    class SwinCfg:
+        embed_dim = 96
+        depths = (2, 2, 6, 2)
+
+    fused, rep = dispatch.static_choice(VitCfg())
+    assert isinstance(fused, bool) and "source" in rep
+    paths, rep = dispatch.swin_stage_choice(SwinCfg())
+    assert len(paths) == 4 and all(isinstance(p, bool) for p in paths)
+    assert set(rep["evidence"]) == {"96", "192", "384", "768"}
+    tune = dispatch.kernel_tune(VitCfg())
+    assert set(tune) <= {"img_tile", "mlp_tile", "head_pack", "evidence"}
