@@ -710,6 +710,13 @@ class Engine:
             self.fusion = fusion_report(spec.config, pallas)
             fused = self.fusion["fused_blocks"]
         self.fusion["path_choice"] = path_choice
+        # Pin the params to the default device ONCE: the jitted forward
+        # takes them as arguments, and host-resident arrays (e.g. a spec
+        # frozen under utils.hostdev.host_init) would otherwise be
+        # re-transferred on EVERY call — measured 10x on the tunnel
+        # (runs/engine_class_smoke_r5.log: 998 img/s vs 9,235 with
+        # device-resident params).
+        self._params = jax.device_put(spec.params)
         import logging
         log = logging.getLogger("ivit_tpu.engine")
         if fused:
@@ -722,4 +729,4 @@ class Engine:
         self._jitted = _jit(pallas, stage_paths)
 
     def __call__(self, images):
-        return self._jitted(self.spec.params, images)
+        return self._jitted(self._params, images)
